@@ -1,0 +1,10 @@
+from flashvtg_tpu.ops.span import (
+    span_xx_to_cxw,
+    span_cxw_to_xx,
+    temporal_iou,
+    temporal_iou_and_union,
+    temporal_intersection_over_pred,
+    generalized_temporal_iou,
+)
+from flashvtg_tpu.ops.nms import temporal_nms_scores, suppress_overlaps
+from flashvtg_tpu.ops.pad import pad_to_length, pad_batch, bucket_length

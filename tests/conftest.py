@@ -1,0 +1,27 @@
+"""Test session setup: run JAX on a virtual 8-device CPU mesh.
+
+Must run before the first `import jax` anywhere in the test session so the
+XLA flags take effect. Multi-chip sharding tests use these 8 virtual devices;
+the real TPU path is exercised by bench.py / __graft_entry__.py instead.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import sys
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE_ROOT.exists()
