@@ -1,0 +1,126 @@
+"""Command-line entry points (train / inference), drop-in shaped.
+
+Mirrors the reference surface:
+    python -m flashvtg_tpu.cli train  <data/MR.py|preset> --dset_name hl ...
+    python -m flashvtg_tpu.cli infer  <data/MR.py|preset> --resume ckpt ...
+The positional config may be a reference-style python model-config file
+(data/MR*.py, data/HD.py) or the name of a built-in preset; every
+ExperimentConfig field is also exposed as a --flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import sys
+from typing import get_args, get_origin
+
+from flashvtg_tpu.train.config import (
+    ExperimentConfig,
+    PRESETS,
+    apply_model_cfg,
+    from_preset,
+    load_model_cfg_file,
+)
+
+
+def _add_config_flags(parser: argparse.ArgumentParser):
+    for f in dataclasses.fields(ExperimentConfig):
+        name = f"--{f.name}"
+        t = f.type if isinstance(f.type, type) else None
+        if f.name in ("v_feat_dirs", "v_buckets", "strides", "nce_direction"):
+            parser.add_argument(name, nargs="+", default=None)
+        elif t is bool or str(f.type).startswith("bool"):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=None)
+        elif str(f.type).startswith("int") or "int" in str(f.type):
+            parser.add_argument(name, type=int, default=None)
+        elif str(f.type).startswith("float") or "float" in str(f.type):
+            parser.add_argument(name, type=float, default=None)
+        else:
+            parser.add_argument(name, type=str, default=None)
+
+
+def parse_config(argv) -> ExperimentConfig:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config", help="preset name or data/MR*.py-style file")
+    _add_config_flags(parser)
+    ns = parser.parse_args(argv)
+
+    if ns.config in PRESETS:
+        cfg = from_preset(ns.config)
+    elif os.path.exists(ns.config):
+        cfg = ExperimentConfig()
+        cfg = apply_model_cfg(cfg, load_model_cfg_file(ns.config))
+    else:
+        raise SystemExit(f"unknown config {ns.config!r}")
+
+    overrides = {}
+    for f in dataclasses.fields(ExperimentConfig):
+        v = getattr(ns, f.name, None)
+        if v is None:
+            continue
+        if f.name in ("strides", "v_buckets"):
+            v = tuple(int(x) for x in v)
+        elif f.name == "nce_direction":
+            v = tuple(v)
+        overrides[f.name] = v
+    return cfg.replace(**overrides)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s.%(msecs)03d:%(levelname)s:%(name)s - %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    mode, rest = argv[0], argv[1:]
+    cfg = parse_config(rest)
+
+    if mode == "train":
+        from flashvtg_tpu.train.loop import train
+
+        best_params, best_score, results_dir = train(cfg)
+        print(f"best score {best_score:.4f}; results in {results_dir}")
+        return 0
+
+    if mode == "infer":
+        import jax.numpy as jnp
+
+        from flashvtg_tpu.data.dataset import VTGDataset
+        from flashvtg_tpu.models.flashvtg import FlashVTGModel
+        from flashvtg_tpu.train.loop import _dataset_cfg, evaluate, load_checkpoint
+
+        if cfg.resume is None:
+            raise SystemExit("--resume <checkpoint> is required for inference")
+        model = FlashVTGModel(cfg.model_config())
+        if cfg.resume.endswith(".ckpt"):  # torch reference checkpoint
+            from flashvtg_tpu.utils.torch_convert import load_torch_checkpoint
+
+            params = load_torch_checkpoint(cfg.resume, cfg.model_config())
+        else:
+            params = load_checkpoint(cfg.resume)
+        dataset = VTGDataset(
+            _dataset_cfg(cfg, cfg.eval_path, load_labels=cfg.eval_split_name == "val")
+        )
+        results_dir = os.path.dirname(cfg.resume) or "."
+        metrics, metrics_nms = evaluate(
+            cfg, model, params, dataset, results_dir, tag="infer"
+        )
+        if metrics is not None:
+            print(dict(metrics["brief"]))
+        if metrics_nms is not None:
+            print("nms:", dict(metrics_nms["brief"]))
+        return 0
+
+    raise SystemExit(f"unknown mode {mode!r} (use train|infer)")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -140,11 +140,16 @@ class ConvHead(nn.Module):
     kernel_size: int = 3
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        """`mask` (B, L): zeroes intermediate activations at invalid
+        positions so the second conv sees zero padding beyond each sample's
+        true length, exactly like the reference's unpadded run."""
         pad = self.kernel_size // 2
         x = nn.Conv(
             self.dims, (self.kernel_size,), padding=[(pad, pad)], name="conv1"
         )(x)
+        if mask is not None:
+            x = x * mask[..., None]
         x = nn.relu(x)
         x = nn.Conv(
             self.out_dims, (self.kernel_size,), padding=[(pad, pad)], name="conv2"
@@ -166,7 +171,7 @@ class ConfidenceScorer(nn.Module):
     num_mlp_layers: int = 3
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         pad = self.kernel_size // 2
         for i in range(self.num_conv_layers):
             x = nn.Conv(
@@ -175,6 +180,8 @@ class ConfidenceScorer(nn.Module):
                 padding=[(pad, pad)],
                 name=f"conv{i}",
             )(x)
+            if mask is not None:
+                x = x * mask[..., None]
             x = nn.relu(x)
         x = MLP(
             self.out_channels // 2, 1, self.num_mlp_layers, name="mlp"
@@ -226,18 +233,28 @@ class ConvPyramid(nn.Module):
     reference, which re-applies the chained stride-2 convs per level). Levels
     whose stride exceeds the static sequence length are never instantiated;
     per-sample level validity is carried by masks (see models/points.py).
+
+    Reference quirk reproduced on purpose: the stride-1 level is
+    `nn.ReLU(inplace=True)` (blocks/blocks.py:35), which MUTATES the input
+    tensor — every later level (and the `video_emb` the SampledNCE loss
+    reads, model.py:188-221) therefore sees relu(x), not x. We thread the
+    post-ReLU tensor through explicitly and also return it.
     """
 
     strides: Sequence[int]
 
     @nn.compact
-    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, x) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
         outs = []
         for s in self.strides:
             if x.shape[1] < s:  # static shape check: level structurally absent
                 continue
-            outs.append(PyramidLevel(stride=s, name=f"level{s}")(x))
-        return tuple(outs)
+            if s == 1:
+                x = nn.relu(x)  # emulates the reference's in-place ReLU
+                outs.append(x)
+            else:
+                outs.append(PyramidLevel(stride=s, name=f"level{s}")(x))
+        return tuple(outs), x
 
 
 def pool_mask(mask: jnp.ndarray, stride: int) -> jnp.ndarray:

@@ -1,0 +1,225 @@
+"""FlashVTG transformer stack in flax.linen (channels-last, mask-driven).
+
+Re-architecture of /root/reference/FlashVTG/transformer.py +
+crossattention.py for TPU:
+
+  * Adaptive Cross-Attention (ACA): projection-less text→video attention in
+    which the softmax runs over *all* text keys including the learned dummy
+    tokens, but the value matmul drops the first `num_dummies` columns
+    (crossattention.py:381-391). Computed here as one fused einsum chain
+    (and optionally as a Pallas kernel — see flashvtg_tpu/ops/aca_pallas.py);
+    the per-layer head-averaged attention maps are accumulated and averaged
+    across layers (transformer.py:197-206).
+  * Standard post-norm encoder layers with DropPath stochastic depth on both
+    residual branches and PReLU feed-forwards (transformer.py:387-435).
+
+All attention masks follow the "1 = valid" convention; conversions to the
+reference's pad-mask convention happen at the boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from flashvtg_tpu.models.components import DropPath, PReLU
+
+NEG_INF = float("-inf")
+
+
+def _split_heads(x, num_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, l, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * hd)
+
+
+class AdaptiveCrossAttention(nn.Module):
+    """Projection-less multi-head cross attention with dummy-token dropping.
+
+    q: (B, Lq, D) video queries (pos already added), k: (B, Lk, D) text keys
+    (dummies first, pos added), v: (B, Lk, D) raw text values.
+    key_valid: (B, Lk) 1 = valid. Returns (out, head_mean_weights).
+    """
+
+    num_heads: int
+    num_dummies: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, q, k, v, key_valid, deterministic: bool = True,
+                 drop_dummies: bool = True):
+        d = q.shape[-1]
+        head_dim = d // self.num_heads
+        scaling = head_dim ** -0.5
+
+        qh = _split_heads(q * scaling, self.num_heads)
+        kh = _split_heads(k, self.num_heads)
+        vh = _split_heads(v, self.num_heads)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+        logits = jnp.where(key_valid[:, None, None, :] > 0, logits, NEG_INF)
+        weights = jax.nn.softmax(logits, axis=-1)  # softmax includes dummies
+        weights_d = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+
+        nd = self.num_dummies if drop_dummies else 0
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights_d[..., nd:], vh[:, :, nd:])
+        out = _merge_heads(out)
+        out = nn.Dense(d, name="out_proj")(out)
+
+        head_mean = weights.sum(axis=1) / self.num_heads  # (B, Lq, Lk)
+        return out, head_mean
+
+
+class FeedForward(nn.Module):
+    """linear1 -> PReLU -> dropout -> linear2 (post-norm layer FFN)."""
+
+    dim_feedforward: int
+    out_dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = PReLU(name="act")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, name="linear2")(x)
+        return x
+
+
+class T2VEncoderLayer(nn.Module):
+    """One ACA layer (oracle: transformer.py:311-369 T2V_TransformerEncoderLayer).
+
+    Residual wiring replicated exactly: the FFN reads LN1(x) but the residual
+    accumulates on the un-normalized x, and LN2 closes the block.
+    """
+
+    num_heads: int
+    num_dummies: int
+    dim_feedforward: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, vid, txt, pos_vid, pos_txt, txt_valid,
+                 deterministic: bool = True, drop_dummies: bool = True):
+        attn_out, attn_weights = AdaptiveCrossAttention(
+            self.num_heads, self.num_dummies, self.dropout, name="attn"
+        )(
+            vid + pos_vid,
+            txt + pos_txt,
+            txt,
+            txt_valid,
+            deterministic=deterministic,
+            drop_dummies=drop_dummies,
+        )
+        x = vid + DropPath(self.dropout, name="drop1")(
+            attn_out, deterministic=deterministic
+        )
+        ffn = FeedForward(
+            self.dim_feedforward, x.shape[-1], self.dropout, name="ffn"
+        )(nn.LayerNorm(epsilon=1e-5, name="norm1")(x), deterministic=deterministic)
+        x = x + DropPath(self.dropout, name="drop2")(ffn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        return x, attn_weights
+
+
+class T2VEncoder(nn.Module):
+    """Stack of ACA layers; text stream is read-only, video stream evolves.
+
+    Returns the fused video features and the layer-averaged attention map
+    (oracle: transformer.py:179-214 TransformerCATEEncoder).
+    """
+
+    num_layers: int
+    num_heads: int
+    num_dummies: int
+    dim_feedforward: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, vid, txt, pos_vid, pos_txt, txt_valid,
+                 deterministic: bool = True, drop_dummies: bool = True):
+        attn_sum = None
+        for i in range(self.num_layers):
+            vid, w = T2VEncoderLayer(
+                self.num_heads,
+                self.num_dummies,
+                self.dim_feedforward,
+                self.dropout,
+                name=f"layer{i}",
+            )(vid, txt, pos_vid, pos_txt, txt_valid,
+              deterministic=deterministic, drop_dummies=drop_dummies)
+            attn_sum = w if attn_sum is None else attn_sum + w
+        return vid, attn_sum / self.num_layers
+
+
+class SelfAttention(nn.Module):
+    """Standard MHA with packed-equivalent q/k/v + out projections.
+
+    q = k = x + pos, v = x (oracle: transformer.py:408-415 with torch MHA).
+    """
+
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pos, valid, deterministic: bool = True):
+        d = x.shape[-1]
+        head_dim = d // self.num_heads
+        qk_in = x if pos is None else x + pos
+        q = nn.Dense(d, name="q_proj")(qk_in)
+        k = nn.Dense(d, name="k_proj")(qk_in)
+        v = nn.Dense(d, name="v_proj")(x)
+        qh = _split_heads(q * head_dim ** -0.5, self.num_heads)
+        kh = _split_heads(k, self.num_heads)
+        vh = _split_heads(v, self.num_heads)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+        logits = jnp.where(valid[:, None, None, :] > 0, logits, NEG_INF)
+        weights = jax.nn.softmax(logits, axis=-1)
+        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
+        return nn.Dense(d, name="out_proj")(_merge_heads(out))
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer (oracle: transformer.py:387-421)."""
+
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pos, valid, deterministic: bool = True):
+        attn = SelfAttention(self.num_heads, self.dropout, name="attn")(
+            x, pos, valid, deterministic=deterministic
+        )
+        x = x + DropPath(self.dropout, name="drop1")(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        ffn = FeedForward(
+            self.dim_feedforward, x.shape[-1], self.dropout, name="ffn"
+        )(x, deterministic=deterministic)
+        x = x + DropPath(self.dropout, name="drop2")(ffn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        return x
+
+
+class Encoder(nn.Module):
+    num_layers: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pos, valid, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = EncoderLayer(
+                self.num_heads, self.dim_feedforward, self.dropout,
+                name=f"layer{i}",
+            )(x, pos, valid, deterministic=deterministic)
+        return x

@@ -1,0 +1,52 @@
+"""Device-mesh / sharding helpers (jax.sharding over ICI).
+
+The reference is strictly single-GPU (SURVEY.md §2.4: no DDP/FSDP/TP/PP
+anywhere). The TPU-native scaling story is XLA SPMD: a 1-D "data" mesh over
+all chips, batches sharded along axis 0, parameters replicated; XLA inserts
+the psum for the gradient all-reduce. The mesh also carries a (currently
+size-1) "model" axis so tensor-parallel shardings stay expressible without
+API changes.
+
+Host-side metrics always gather to process 0.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """A (data, model) mesh; defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def data_axis_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host batch dict with the leading axis split over `data`."""
+    sh = data_axis_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate_params(mesh: Mesh, params):
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), params)

@@ -1,0 +1,364 @@
+"""Experiment configuration: one dataclass + per-dataset presets.
+
+Replaces the reference's two-tier config (argparse BaseOptions with ~70 flags,
+FlashVTG/config.py:9-169, plus nncore python-file model dicts, data/MR*.py)
+with a single typed dataclass. The shipped training scripts'
+hyper-parameters are captured as PRESETS (cited per entry); `data/MR*.py` /
+`data/HD.py`-style model-config files are still accepted for drop-in
+compatibility via `load_model_cfg_file`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+from flashvtg_tpu.losses.criterion import LossConfig
+from flashvtg_tpu.models.flashvtg import ModelConfig
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # experiment / dataset
+    dset_name: str = "hl"
+    dset_domain: Optional[str] = None
+    exp_id: str = "exp"
+    seed: int = 2024
+    results_root: str = "results"
+    train_path: str = ""
+    eval_path: str = ""
+    eval_split_name: str = "val"
+    v_feat_dirs: Sequence[str] = ()
+    t_feat_dir: str = ""
+    v_feat_dim: int = 0
+    t_feat_dim: int = 0
+    q_feat_type: str = "last_hidden_state"
+    ctx_mode: str = "video_tef"
+    data_ratio: float = 1.0
+    no_norm_vfeat: bool = False
+    no_norm_tfeat: bool = False
+    txt_drop_ratio: float = 0.0
+
+    # lengths / batching
+    max_q_l: int = 32
+    max_v_l: int = 75
+    clip_length: float = 2.0
+    max_windows: int = 5
+    bsz: int = 32
+    eval_bsz: int = 32  # reference forces 1; our decode is batched
+    v_buckets: Sequence[int] = (75, 128, 256, 512, 1024, 2048, 4096)
+
+    # optimization (config.py:49-68)
+    lr: float = 5e-4
+    lr_drop: int = 400
+    lr_gamma: float = 0.5
+    wd: float = 1e-4
+    n_epoch: int = 700
+    max_es_cnt: int = 200
+    grad_clip: float = 0.1
+    eval_epoch: int = 2
+    start_epoch: Optional[int] = None
+    resume: Optional[str] = None
+    resume_all: bool = False
+
+    # model architecture (config.py:93-132)
+    position_embedding: str = "sine"
+    kernel_size: int = 3
+    num_conv_layers: int = 3
+    num_mlp_layers: int = 3
+    enc_layers: int = 3
+    t2v_layers: int = 2
+    dummy_layers: int = 2
+    dim_feedforward: int = 1024
+    hidden_dim: int = 256
+    input_dropout: float = 0.5
+    dropout: float = 0.1
+    use_txt_pos: bool = False
+    nheads: int = 8
+    num_dummies: int = 0
+    pre_norm: bool = False
+    n_input_proj: int = 2
+    use_neg: bool = False
+
+    # model-structure config (data/MR*.py dicts)
+    strides: Tuple[int, ...] = (1, 2, 4, 8)
+    buffer_size: int = 1024
+    max_num_moment: int = 50
+    loss_cls: Optional[str] = "focal"
+    loss_reg: Optional[str] = "l1"
+    loss_sal: Optional[str] = "nce"
+    nce_direction: Tuple[str, ...] = ("row", "col")
+    loss_qfl: bool = False
+
+    # loss weights (config.py:133-156)
+    saliency_margin: float = 0.2
+    sample_radius: float = 1.5
+    lw_reg: float = 0.2
+    lw_cls: float = 1.0
+    lw_sal: float = 0.1
+    lw_saliency: float = 0.1
+    lw_wattn: float = 1.0
+    label_loss_coef: float = 4.0
+    eos_coef: float = 0.1
+
+    # post-processing (config.py:158-168)
+    max_before_nms: int = 50
+    max_after_nms: int = 10
+    conf_thd: float = 0.0
+    nms_thd: float = -1.0
+    nms_type: str = "normal"
+
+    # runtime
+    eval_precision: str = "float32"  # MXU passes at eval (parity-exact)
+    train_precision: str = "bfloat16"  # MXU passes in the train step
+    use_pallas: bool = False
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        if self.use_tef:
+            pass
+
+    @property
+    def use_tef(self) -> bool:
+        return "tef" in self.ctx_mode
+
+    @property
+    def total_v_feat_dim(self) -> int:
+        return self.v_feat_dim + (2 if self.use_tef else 0)
+
+    def model_config(self) -> ModelConfig:
+        return ModelConfig(
+            vid_dim=self.total_v_feat_dim,
+            txt_dim=self.t_feat_dim,
+            hidden_dim=self.hidden_dim,
+            nheads=self.nheads,
+            enc_layers=self.enc_layers,
+            t2v_layers=self.t2v_layers,
+            dummy_layers=self.dummy_layers,
+            num_dummies=self.num_dummies,
+            dim_feedforward=self.dim_feedforward,
+            dropout=self.dropout,
+            input_dropout=self.input_dropout,
+            n_input_proj=self.n_input_proj,
+            use_txt_pos=self.use_txt_pos,
+            strides=tuple(self.strides),
+            kernel_size=self.kernel_size,
+            num_conv_layers=self.num_conv_layers,
+            num_mlp_layers=self.num_mlp_layers,
+            max_num_moment=self.max_num_moment,
+            clip_length=self.clip_length,
+            use_neg=self.use_neg,
+        )
+
+    def loss_config(self) -> LossConfig:
+        return LossConfig(
+            label_loss_coef=self.label_loss_coef,
+            lw_saliency=self.lw_saliency,
+            lw_reg=self.lw_reg,
+            lw_cls=self.lw_cls,
+            lw_sal=self.lw_sal,
+            lw_wattn=self.lw_wattn,
+            saliency_margin=self.saliency_margin,
+            sample_radius=self.sample_radius,
+            loss_cls=self.loss_cls,
+            loss_reg=self.loss_reg,
+            loss_sal=self.loss_sal,
+            nce_direction=tuple(self.nce_direction),
+            loss_qfl=self.loss_qfl,
+            clip_length=self.clip_length,
+            dset_name=self.dset_name,
+        )
+
+    # opt.json round-trip (reference saves/reloads all flags, config.py:171-203)
+    def save(self, path):
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2, default=list)
+
+    @classmethod
+    def load(cls, path) -> "ExperimentConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in fields})
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def load_model_cfg_file(path: str) -> dict:
+    """Parse a reference-style python model-config file (data/MR*.py).
+
+    Executes the file in an isolated namespace and returns its `model` dict;
+    `_base_` entries are accepted and ignored (the shipped bases add nothing
+    the dict does not already restate).
+    """
+    ns: dict = {}
+    with open(path) as f:
+        exec(compile(f.read(), path, "exec"), {}, ns)
+    return ns.get("model", {})
+
+
+def apply_model_cfg(cfg: ExperimentConfig, model_dict: dict) -> ExperimentConfig:
+    """Overlay a data/MR*.py-style dict onto an ExperimentConfig."""
+    kw = {}
+    if "strides" in model_dict:
+        kw["strides"] = tuple(model_dict["strides"])
+    if "buffer_size" in model_dict:
+        kw["buffer_size"] = model_dict["buffer_size"]
+    if "max_num_moment" in model_dict:
+        kw["max_num_moment"] = model_dict["max_num_moment"]
+    loss_cfg = model_dict.get("loss_cfg", {})
+    type_map = {
+        "FocalLoss": "focal",
+        "DynamicBCELoss": "dynamic_bce",
+        "L1Loss": "l1",
+        "SampledNCELoss": "nce",
+    }
+    if loss_cfg:
+        cls = loss_cfg.get("loss_cls")
+        kw["loss_cls"] = type_map.get(cls["type"]) if cls else None
+        reg = loss_cfg.get("loss_reg")
+        kw["loss_reg"] = type_map.get(reg["type"]) if reg else None
+        sal = loss_cfg.get("loss_sal")
+        kw["loss_sal"] = type_map.get(sal["type"]) if sal else None
+        if sal and "direction" in sal:
+            d = sal["direction"]
+            kw["nce_direction"] = (d,) if isinstance(d, str) else tuple(d)
+        kw["loss_qfl"] = "loss_qfl" in loss_cfg
+        if "sample_radius" in loss_cfg:
+            kw["sample_radius"] = loss_cfg["sample_radius"]
+    return cfg.replace(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets: the 7 shipped training scripts (FlashVTG/scripts/*)
+# ---------------------------------------------------------------------------
+
+_HD_LOSSES = dict(
+    strides=(1,), buffer_size=2048, loss_cls="dynamic_bce", loss_reg=None,
+    loss_sal="nce", nce_direction=("row",),
+)
+
+PRESETS = {
+    # scripts/train_qv_slowclip.sh (QVHighlights, InternVideo2 video 768 +
+    # InternVideo2 text 4096, data/MR.py)
+    "qvhighlights": dict(
+        dset_name="hl", v_feat_dim=768, t_feat_dim=4096, bsz=64,
+        max_v_l=75, max_q_l=40, eval_epoch=1, wd=1e-4, eval_bsz=32,
+        enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=10,
+        kernel_size=5, num_conv_layers=1, num_mlp_layers=5,
+        lw_reg=1.0, lw_cls=5.0, lw_sal=0.1, lw_saliency=0.8,
+        label_loss_coef=4.0, n_epoch=150, lr_drop=400, nms_thd=0.7,
+        use_neg=True, clip_length=2.0,
+        train_path="data/highlight_train_release.jsonl",
+        eval_path="data/highlight_val_release.jsonl",
+    ),
+    # classic SlowFast+CLIP QVHighlights feature set (moment-detr lineage;
+    # dims per README feature preparation): video 2304+512, text CLIP 512
+    "qvhighlights_slowclip": dict(
+        dset_name="hl", v_feat_dim=2816, t_feat_dim=512, bsz=64,
+        max_v_l=75, max_q_l=32, eval_epoch=1, wd=1e-4, eval_bsz=32,
+        enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=10,
+        kernel_size=5, num_conv_layers=1, num_mlp_layers=5,
+        lw_reg=1.0, lw_cls=5.0, lw_sal=0.1, lw_saliency=0.8,
+        label_loss_coef=4.0, n_epoch=150, lr_drop=400, nms_thd=0.7,
+        use_neg=True, clip_length=2.0,
+        train_path="data/highlight_train_release.jsonl",
+        eval_path="data/highlight_val_release.jsonl",
+    ),
+    # scripts/qv_internvideo2/train.sh (data/MR_16.py: strides to 16)
+    "qv_internvideo2": dict(
+        dset_name="qv_internvideo2", v_feat_dim=768, t_feat_dim=4096,
+        bsz=64, max_v_l=75, max_q_l=40, eval_epoch=1, wd=1e-4, eval_bsz=32,
+        enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=40,
+        kernel_size=5, num_conv_layers=1, num_mlp_layers=5,
+        strides=(1, 2, 4, 8, 16),
+        lw_reg=1.0, lw_cls=5.0, lw_sal=0.1, lw_saliency=0.8,
+        label_loss_coef=0.0, n_epoch=150, nms_thd=0.7, use_neg=True,
+        clip_length=2.0,
+        train_path="data/highlight_train_release_IV2.jsonl",
+        eval_path="data/highlight_val_release.jsonl",
+    ),
+    # scripts/charades_sta/train.sh (InternVideo2-like features, clip 1s)
+    "charades": dict(
+        dset_name="charadesSTA", v_feat_dim=768, t_feat_dim=4096, bsz=128,
+        max_v_l=256, max_q_l=32, eval_epoch=1, eval_bsz=32,
+        enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=40,
+        kernel_size=5, num_conv_layers=1, num_mlp_layers=5,
+        lw_reg=1.0, lw_cls=5.0, lw_sal=0.01, lw_saliency=0.8,
+        label_loss_coef=0.1, n_epoch=50, nms_thd=0.7, use_neg=True,
+        clip_length=1.0, lr=2.5e-4,
+        train_path="data/charades_sta/charades_sta_train_tvr_format.jsonl",
+        eval_path="data/charades_sta/charades_sta_test_tvr_format.jsonl",
+    ),
+    # scripts/charades_sta/train_vgg.sh (VGG 4096 + GloVe 300, clip 1/6 s)
+    "charades_vgg": dict(
+        dset_name="charadesSTA", v_feat_dim=4096, t_feat_dim=300, bsz=16,
+        max_v_l=2048, max_q_l=32, eval_epoch=1, eval_bsz=16,
+        enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=40,
+        kernel_size=3, num_conv_layers=2, num_mlp_layers=5,
+        lw_reg=1.0, lw_cls=5.0, lw_sal=0.01, lw_saliency=0.8,
+        label_loss_coef=0.1, n_epoch=100, nms_thd=0.7, use_neg=True,
+        clip_length=0.166666, lr=1e-4, q_feat_type="features",
+        train_path="data/charades_sta/charades_sta_train_tvr_format.jsonl",
+        eval_path="data/charades_sta/charades_sta_test_tvr_format.jsonl",
+    ),
+    # scripts/charades_sta_internvideo2/train.sh
+    "charades_internvideo2": dict(
+        dset_name="charadesSTA_internvideo2", v_feat_dim=768, t_feat_dim=4096,
+        bsz=32, max_v_l=256, max_q_l=23, eval_epoch=1, eval_bsz=32,
+        enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=40,
+        kernel_size=7, num_conv_layers=2, num_mlp_layers=3,
+        lw_reg=1.0, lw_cls=5.0, lw_sal=0.01, lw_saliency=0.8,
+        label_loss_coef=0.1, n_epoch=50, lr_drop=50, nms_thd=0.7,
+        use_neg=True, clip_length=1.0, lr=1.5e-4,
+        train_path="data/charades_sta/charades_sta_train_tvr_format.jsonl",
+        eval_path="data/charades_sta/charades_sta_test_tvr_format.jsonl",
+    ),
+    # scripts/tacos/train.sh
+    "tacos": dict(
+        dset_name="tacos", v_feat_dim=768, t_feat_dim=4096, bsz=32,
+        max_v_l=2048, max_q_l=40, eval_epoch=3, eval_bsz=8,
+        enc_layers=3, t2v_layers=8, dummy_layers=3, num_dummies=35,
+        kernel_size=5, num_conv_layers=2, num_mlp_layers=5,
+        lw_reg=1.0, lw_cls=5.0, lw_sal=0.05, lw_saliency=0.8,
+        label_loss_coef=4.0, n_epoch=150, nms_thd=0.7, use_neg=True,
+        clip_length=2.0, lr=2e-4,
+        train_path="data/tacos/train.jsonl", eval_path="data/tacos/val.jsonl",
+    ),
+    # scripts/tvsum/train.sh (HD task, data/HD.py)
+    "tvsum": dict(
+        dset_name="tvsum", v_feat_dim=2816, t_feat_dim=512, bsz=4,
+        max_v_l=1000, max_q_l=32, eval_epoch=1, eval_bsz=4,
+        enc_layers=3, t2v_layers=2, dummy_layers=2, num_dummies=3,
+        kernel_size=5, num_conv_layers=2, num_mlp_layers=3,
+        lw_cls=5.0, lw_sal=0.1, lw_saliency=0.8, label_loss_coef=4.0,
+        n_epoch=600, lr_drop=3000, max_es_cnt=-1, lr=1e-3, wd=0.05,
+        dropout=0.1, use_neg=True, clip_length=2.0,
+        train_path="data/tvsum/tvsum_train.jsonl",
+        eval_path="data/tvsum/tvsum_val.jsonl",
+        **_HD_LOSSES,
+    ),
+    # scripts/youtube_uni/train.sh (HD task)
+    "youtube_uni": dict(
+        dset_name="youtube_uni", v_feat_dim=2816, t_feat_dim=512, bsz=4,
+        max_v_l=1000, max_q_l=32, eval_epoch=1, eval_bsz=4,
+        enc_layers=3, t2v_layers=2, dummy_layers=2, num_dummies=3,
+        kernel_size=5, num_conv_layers=2, num_mlp_layers=3,
+        lw_cls=0.6, lw_sal=0.5, lw_saliency=0.7, label_loss_coef=5.0,
+        n_epoch=5, lr_drop=2000, max_es_cnt=-1, lr=2e-4, clip_length=1.0,
+        use_neg=True,
+        train_path="data/youtube_uni/youtube_train.jsonl",
+        eval_path="data/youtube_uni/youtube_valid.jsonl",
+        **_HD_LOSSES,
+    ),
+}
+
+
+def from_preset(name: str, **overrides) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    kw = dict(PRESETS[name])
+    kw.update(overrides)
+    return ExperimentConfig(**kw)

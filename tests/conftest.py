@@ -7,12 +7,18 @@ the real TPU path is exercised by bench.py / __graft_entry__.py instead.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The axon TPU plugin may pre-import jax from sitecustomize with
+# JAX_PLATFORMS=axon already latched; the config update below wins either way.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
