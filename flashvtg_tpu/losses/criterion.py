@@ -118,12 +118,19 @@ def _saliency_channel(
     margin,
     neg_pair_weight,
     neg_is_prob: bool,
+    include_false_neg_rank: bool = True,
 ):
     """One saliency channel (encoder scores or t2v attention values).
 
     Folds the reference's real-neg / false-neg / no-neg branches into a
     single masked computation (equivalent when static shapes are kept; see
     models/flashvtg.py docstring).
+
+    `include_false_neg_rank=False` reproduces a reference bug: in the
+    attention channel the false-negative rank-contrastive term is
+    accumulated into the *already consumed* saliency-channel variable
+    (model.py:524 `loss_rank_contrastive += ...` after it was folded into
+    loss_saliency at :444), so it never reaches any output.
     """
     b, l = scores.shape
     have_neg = scores_neg is not None
@@ -152,15 +159,20 @@ def _saliency_channel(
         cat_valid = jnp.concatenate([valid, valid], axis=1)
         loss = loss + rank_contrastive_loss(cat_scores, cat_labels, cat_valid, real_neg)
 
-        # false-neg rows use the original scores only
-        false_neg = 1.0 - real_neg
-        loss = loss + jnp.where(
-            false_neg.sum() > 0,
-            rank_contrastive_loss(
-                _masked_scores(scores, valid), labels, valid, false_neg
-            ),
-            0.0,
-        )
+        # false-neg rows use the original scores only. Reference quirk: when
+        # exactly ONE row is a false negative, the reference's
+        # `scores[mask].unsqueeze(0)` (model.py:394-398) yields a 3-D tensor
+        # whose softmax runs over a singleton axis, collapsing the term to
+        # ~1e-6 — i.e. effectively zero. Reproduced via the count > 1 gate.
+        if include_false_neg_rank:
+            false_neg = 1.0 - real_neg
+            loss = loss + jnp.where(
+                false_neg.sum() > 1,
+                rank_contrastive_loss(
+                    _masked_scores(scores, valid), labels, valid, false_neg
+                ),
+                0.0,
+            )
     else:
         loss = loss + rank_contrastive_loss(
             _masked_scores(scores, valid), labels, valid, jnp.ones((b,))
@@ -204,6 +216,7 @@ def loss_saliency(outputs, targets, cfg: LossConfig):
         cfg.saliency_margin,
         npw,
         neg_is_prob=True,
+        include_false_neg_rank=not have_neg,
     )
     # BCE of the attention channel against binarized saliency
     # (model.py:538-542; note: unmasked over the padded length, as in the

@@ -66,6 +66,7 @@ class ModelConfig:
     clip_length: float = 2.0
     use_neg: bool = True
     merge_cls_sal: bool = True
+    use_pallas: bool = False  # fused ACA kernel on the eval path
 
 
 class FlashVTGModel(nn.Module):
@@ -138,7 +139,7 @@ class FlashVTGModel(nn.Module):
         # --- shared transformer trunk (called again for the neg pass) ---
         t2v = T2VEncoder(
             cfg.t2v_layers, cfg.nheads, nd, cfg.dim_feedforward, cfg.dropout,
-            name="t2v_encoder",
+            use_pallas=cfg.use_pallas, name="t2v_encoder",
         )
         encoder = Encoder(
             cfg.enc_layers, cfg.nheads, cfg.dim_feedforward, cfg.dropout,

@@ -51,6 +51,7 @@ class AdaptiveCrossAttention(nn.Module):
     num_heads: int
     num_dummies: int
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, key_valid, deterministic: bool = True,
@@ -63,13 +64,22 @@ class AdaptiveCrossAttention(nn.Module):
         kh = _split_heads(k, self.num_heads)
         vh = _split_heads(v, self.num_heads)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
-        logits = jnp.where(key_valid[:, None, None, :] > 0, logits, NEG_INF)
-        weights = jax.nn.softmax(logits, axis=-1)  # softmax includes dummies
-        weights_d = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
-
         nd = self.num_dummies if drop_dummies else 0
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights_d[..., nd:], vh[:, :, nd:])
+        if self.use_pallas and deterministic:
+            # fused TPU kernel (no attention-dropout path — eval only)
+            from flashvtg_tpu.ops.aca_pallas import aca_attention
+
+            out, weights = aca_attention(qh, kh, vh, key_valid, nd)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+            logits = jnp.where(key_valid[:, None, None, :] > 0, logits, NEG_INF)
+            weights = jax.nn.softmax(logits, axis=-1)  # softmax incl. dummies
+            weights_d = nn.Dropout(self.dropout)(
+                weights, deterministic=deterministic
+            )
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", weights_d[..., nd:], vh[:, :, nd:]
+            )
         out = _merge_heads(out)
         out = nn.Dense(d, name="out_proj")(out)
 
@@ -104,12 +114,14 @@ class T2VEncoderLayer(nn.Module):
     num_dummies: int
     dim_feedforward: int
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, vid, txt, pos_vid, pos_txt, txt_valid,
                  deterministic: bool = True, drop_dummies: bool = True):
         attn_out, attn_weights = AdaptiveCrossAttention(
-            self.num_heads, self.num_dummies, self.dropout, name="attn"
+            self.num_heads, self.num_dummies, self.dropout,
+            use_pallas=self.use_pallas, name="attn"
         )(
             vid + pos_vid,
             txt + pos_txt,
@@ -141,6 +153,7 @@ class T2VEncoder(nn.Module):
     num_dummies: int
     dim_feedforward: int
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, vid, txt, pos_vid, pos_txt, txt_valid,
@@ -152,6 +165,7 @@ class T2VEncoder(nn.Module):
                 self.num_dummies,
                 self.dim_feedforward,
                 self.dropout,
+                use_pallas=self.use_pallas,
                 name=f"layer{i}",
             )(vid, txt, pos_vid, pos_txt, txt_valid,
               deterministic=deterministic, drop_dummies=drop_dummies)

@@ -149,6 +149,7 @@ class ExperimentConfig:
             max_num_moment=self.max_num_moment,
             clip_length=self.clip_length,
             use_neg=self.use_neg,
+            use_pallas=self.use_pallas,
         )
 
     def loss_config(self) -> LossConfig:
