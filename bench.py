@@ -47,6 +47,10 @@ def bench_tpu():
     import jax
     import jax.numpy as jnp
 
+    from flashvtg_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from flashvtg_tpu.models.flashvtg import FlashVTGModel
     from flashvtg_tpu.models.points import pyramid_masks_strict
     from flashvtg_tpu.train.config import from_preset
@@ -55,7 +59,8 @@ def bench_tpu():
     cfg = from_preset("qvhighlights_slowclip", eval_bsz=BATCH)
     model = FlashVTGModel(cfg.model_config())
     rng = jax.random.PRNGKey(0)
-    params = model.init(
+    log("initializing params (jitted)...")
+    params = jax.jit(model.init, static_argnames="train")(
         {"params": rng},
         jnp.zeros((1, LQ, T_DIM)),
         jnp.ones((1, LQ)),
@@ -67,29 +72,38 @@ def bench_tpu():
 
     host = np.random.default_rng(0)
     src_txt, txt_mask, src_vid, vid_mask = build_inputs(host)
-    strict, _ = pyramid_masks_strict(np.full(N_QUERIES, LV), LV, cfg.strides)
+    strict, _ = pyramid_masks_strict(np.full(BATCH, LV), LV, cfg.strides)
 
-    # Pre-stage the feature arrays on device: a serving deployment keeps the
-    # pre-extracted features device-side / overlaps H2D with compute, and the
-    # CPU baseline likewise reads from RAM. One dispatch covers all queries.
-    dev = [
-        jax.device_put(x)
-        for x in (src_txt, txt_mask, src_vid, vid_mask, strict)
-    ]
+    # Pre-stage the feature arrays in HBM: the reference preloads the whole
+    # dataset into host RAM at dataset init (start_end_dataset.py:153-158);
+    # resident features in HBM are the TPU-serving analogue. Every timed
+    # iteration fetches the ranked outputs to host — under the axon tunnel
+    # block_until_ready does not fence execution, so the fetch is the fence.
+    batches = []
+    for i in range(0, N_QUERIES, BATCH):
+        sl = slice(i, i + BATCH)
+        batches.append(
+            tuple(
+                jax.device_put(x)
+                for x in (src_txt[sl], txt_mask[sl], src_vid[sl], vid_mask[sl],
+                          strict)
+            )
+        )
 
     def run():
-        spans, scores, saliency = step(params, *dev)
-        # force completion + fetch of the (small) ranked outputs — under the
-        # axon tunnel block_until_ready alone does not fence execution
-        return np.asarray(scores)
+        out = []
+        for dev in batches:
+            spans, scores, saliency = step(params, *dev)
+            out.append(np.asarray(scores))  # host fetch = completion fence
+        return out
 
     log(f"devices: {jax.devices()}")
     t0 = time.perf_counter()
-    run()  # includes compile
+    run()  # includes (slow, remote) compile
     log(f"warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
 
     best = float("inf")
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)

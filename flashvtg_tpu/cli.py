@@ -80,6 +80,9 @@ def main(argv=None):
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
+    from flashvtg_tpu.utils.runtime import setup
+
+    setup()
     mode, rest = argv[0], argv[1:]
     cfg = parse_config(rest)
 
@@ -99,13 +102,17 @@ def main(argv=None):
 
         if cfg.resume is None:
             raise SystemExit("--resume <checkpoint> is required for inference")
-        model = FlashVTGModel(cfg.model_config())
+        model = cfg.build_model()
         if cfg.resume.endswith(".ckpt"):  # torch reference checkpoint
             from flashvtg_tpu.utils.torch_convert import load_torch_checkpoint
 
-            params = load_torch_checkpoint(cfg.resume, cfg.model_config())
+            mc = (
+                cfg.ms_model_config() if cfg.variant == "ms"
+                else cfg.model_config()
+            )
+            params = load_torch_checkpoint(cfg.resume, mc)
         else:
-            params = load_checkpoint(cfg.resume)
+            params = load_checkpoint(cfg.resume)["params"]
         dataset = VTGDataset(
             _dataset_cfg(cfg, cfg.eval_path, load_labels=cfg.eval_split_name == "val")
         )

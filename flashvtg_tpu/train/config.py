@@ -109,6 +109,18 @@ class ExperimentConfig:
     nms_thd: float = -1.0
     nms_type: str = "normal"
 
+    # FlashVTG_ms variant (FlashVTG_ms/config.py:135-153)
+    variant: str = "core"  # "core" | "ms"
+    num_phrase: int = 3
+    phrase_layers: int = 2
+    context_layers: int = 2
+    use_dfl: bool = False
+    num_bins: int = 16
+    rank: int = 32
+    t_sa: int = 2
+    lw_phrase: float = 1.0
+    lw_eos: float = 1.0
+
     # runtime
     eval_precision: str = "float32"  # MXU passes at eval (parity-exact)
     train_precision: str = "bfloat16"  # MXU passes in the train step
@@ -151,6 +163,51 @@ class ExperimentConfig:
             use_neg=self.use_neg,
             use_pallas=self.use_pallas,
         )
+
+    def ms_model_config(self):
+        from flashvtg_tpu.models.flashvtg_ms import MSModelConfig
+
+        base = self.model_config()
+        return MSModelConfig(
+            **dataclasses.asdict(base),
+            num_phrase=self.num_phrase,
+            phrase_layers=self.phrase_layers,
+            context_layers=self.context_layers,
+            use_dfl=self.use_dfl,
+            num_bins=self.num_bins,
+            rank=self.rank,
+            t_sa_layers=self.t_sa,
+            sample_radius=self.sample_radius,
+        )
+
+    def ms_loss_config(self):
+        from flashvtg_tpu.losses.criterion_ms import MSLossConfig
+
+        return MSLossConfig(
+            label_loss_coef=self.label_loss_coef,
+            lw_saliency=self.lw_saliency,
+            lw_reg=self.lw_reg,
+            lw_cls=self.lw_cls,
+            lw_sal=self.lw_sal,
+            lw_phrase=self.lw_phrase,
+            lw_wattn=self.lw_wattn,
+            saliency_margin=self.saliency_margin,
+            sample_radius=self.sample_radius,
+            use_dfl=self.use_dfl,
+            num_bins=self.num_bins,
+            clip_length=self.clip_length,
+            dset_name=self.dset_name,
+        )
+
+    def build_model(self):
+        """Model module for the configured variant."""
+        if self.variant == "ms":
+            from flashvtg_tpu.models.flashvtg_ms import FlashVTGMSModel
+
+            return FlashVTGMSModel(self.ms_model_config())
+        from flashvtg_tpu.models.flashvtg import FlashVTGModel
+
+        return FlashVTGModel(self.model_config())
 
     def loss_config(self) -> LossConfig:
         return LossConfig(
@@ -337,6 +394,21 @@ PRESETS = {
         lw_cls=5.0, lw_sal=0.1, lw_saliency=0.8, label_loss_coef=4.0,
         n_epoch=600, lr_drop=3000, max_es_cnt=-1, lr=1e-3, wd=0.05,
         dropout=0.1, use_neg=True, clip_length=2.0,
+        train_path="data/tvsum/tvsum_train.jsonl",
+        eval_path="data/tvsum/tvsum_val.jsonl",
+        **_HD_LOSSES,
+    ),
+    # FlashVTG_ms multi-scale variant on the HD tasks (FlashVTG_ms/ has no
+    # shipped scripts — defaults follow FlashVTG_ms/config.py:135-153)
+    "tvsum_ms": dict(
+        dset_name="tvsum", variant="ms", v_feat_dim=2816, t_feat_dim=512,
+        bsz=4, max_v_l=1000, max_q_l=32, eval_epoch=1, eval_bsz=4,
+        enc_layers=3, t2v_layers=2, dummy_layers=2, num_dummies=3,
+        kernel_size=5, num_conv_layers=2, num_mlp_layers=3,
+        lw_cls=5.0, lw_sal=0.1, lw_saliency=0.8, label_loss_coef=4.0,
+        n_epoch=600, lr_drop=3000, max_es_cnt=-1, lr=1e-3, wd=0.05,
+        use_neg=True, clip_length=2.0,
+        num_phrase=3, phrase_layers=2, context_layers=2, rank=32, t_sa=2,
         train_path="data/tvsum/tvsum_train.jsonl",
         eval_path="data/tvsum/tvsum_val.jsonl",
         **_HD_LOSSES,

@@ -34,6 +34,8 @@ def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32")
     (fastest; the default-precision TPU mode, ~1e-2 relative error).
     """
 
+    use_dfl = bool(getattr(model.cfg, "use_dfl", False))
+
     @jax.jit
     def step(params, src_txt, src_txt_mask, src_vid, src_vid_mask, point_valid):
         with jax.default_matmul_precision(precision):
@@ -41,14 +43,23 @@ def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32")
                 params, src_txt, src_txt_mask, src_vid, src_vid_mask,
                 point_valid=point_valid, train=False,
             )
-        spans, scores = decode_boundaries(
-            out["out_class"],
-            out["out_coord"],
-            out["point"],
-            model.cfg.clip_length,
-            point_valid=point_valid,
-            top_k=top_k,
-        )
+        if use_dfl:
+            from flashvtg_tpu.models.flashvtg_ms import decode_boundaries_dfl
+
+            spans, scores = decode_boundaries_dfl(
+                out["out_class"], out["out_coord"], out["point"],
+                model.cfg.clip_length, model.cfg.num_bins,
+                model.cfg.sample_radius, point_valid=point_valid, top_k=top_k,
+            )
+        else:
+            spans, scores = decode_boundaries(
+                out["out_class"],
+                out["out_coord"],
+                out["point"],
+                model.cfg.clip_length,
+                point_valid=point_valid,
+                top_k=top_k,
+            )
         return spans, scores, out["saliency_scores"]
 
     return step

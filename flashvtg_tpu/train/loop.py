@@ -63,7 +63,15 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
     return tx, schedule
 
 
-def make_train_step(model: FlashVTGModel, loss_cfg, tx, precision: str = "bfloat16"):
+def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
+    from flashvtg_tpu.losses.criterion_ms import (
+        MSLossConfig,
+        compute_losses_ms,
+        weighted_total_ms,
+    )
+
+    is_ms = isinstance(loss_cfg, MSLossConfig)
+
     def loss_fn(params, batch, rng):
         out = model.apply(
             params,
@@ -75,8 +83,12 @@ def make_train_step(model: FlashVTGModel, loss_cfg, tx, precision: str = "bfloat
             train=True,
             rngs={"dropout": rng},
         )
-        losses = compute_losses(out, batch, loss_cfg)
-        total = weighted_total(losses, loss_cfg)
+        if is_ms:
+            losses = compute_losses_ms(out, batch, loss_cfg)
+            total = weighted_total_ms(losses, loss_cfg)
+        else:
+            losses = compute_losses(out, batch, loss_cfg)
+            total = weighted_total(losses, loss_cfg)
         losses["weighted_loss_overall"] = total
         return total, losses
 
@@ -193,8 +205,8 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
         VTGDataset(_dataset_cfg(cfg, cfg.eval_path)) if cfg.eval_path else None
     )
 
-    model = FlashVTGModel(cfg.model_config())
-    loss_cfg = cfg.loss_config()
+    model = cfg.build_model()
+    loss_cfg = cfg.ms_loss_config() if cfg.variant == "ms" else cfg.loss_config()
     collator = Collator(
         max_q_l=cfg.max_q_l,
         v_buckets=cfg.v_buckets,
@@ -205,7 +217,9 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
 
     rng = jax.random.PRNGKey(cfg.seed)
     init_batch = collator([train_dataset[i] for i in range(min(2, len(train_dataset)))])
-    params = model.init(
+    # jitted init: one compiled program instead of hundreds of eager ops
+    # (eager dispatch is pathologically slow on remote-compile TPU targets)
+    params = jax.jit(model.init, static_argnames="train")(
         {"params": rng, "dropout": rng},
         jnp.asarray(init_batch["src_txt"][:1]),
         jnp.asarray(init_batch["src_txt_mask"][:1]),

@@ -191,10 +191,144 @@ def convert_checkpoint(sd, cfg) -> Dict:
 
 
 def load_torch_checkpoint(path, cfg):
-    """Load a reference .ckpt file (torch.save dict with 'model') on CPU."""
+    """Load a reference .ckpt file (torch.save dict with 'model') on CPU.
+
+    Detects the FlashVTG_ms variant by its phrase-pipeline keys.
+    """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
     sd = {k.removeprefix("module."): v.detach().numpy() for k, v in sd.items()}
+    if any(k.startswith("phrase_generate.") for k in sd):
+        return convert_checkpoint_ms(sd, cfg)
     return convert_checkpoint(sd, cfg)
+
+
+# ---------------------------------------------------------------------------
+# FlashVTG_ms variant (FlashVTG_ms/model.py + LGI.py)
+# ---------------------------------------------------------------------------
+
+def _mha(sd, prefix):
+    """torch nn.MultiheadAttention -> lgi.MHACore {q,k,v,out}."""
+    w = np.asarray(sd[f"{prefix}.in_proj_weight"])
+    b = np.asarray(sd[f"{prefix}.in_proj_bias"])
+    d = w.shape[1]
+    return {
+        "q": {"kernel": _t(w[:d]), "bias": b[:d]},
+        "k": {"kernel": _t(w[d : 2 * d]), "bias": b[d : 2 * d]},
+        "v": {"kernel": _t(w[2 * d :]), "bias": b[2 * d :]},
+        "out": _dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _cross_attention_block(sd, prefix):
+    """LGI CrossAttention -> lgi.CrossAttentionBlock."""
+    return {
+        "q_proj": _dense(sd, f"{prefix}.q_proj"),
+        "kv_proj": _dense(sd, f"{prefix}.kv_proj"),
+        "att": _mha(sd, f"{prefix}.att"),
+        "norm": _norm(sd, f"{prefix}.norm"),
+        "linear": _dense(sd, f"{prefix}.linear"),
+        "norm1": _norm(sd, f"{prefix}.norm1"),
+    }
+
+
+def _self_attention_block(sd, prefix):
+    """LGI SelfAttention -> lgi.SelfAttentionBlock."""
+    return {
+        "q_proj": _dense(sd, f"{prefix}.q_proj"),
+        "k_proj": _dense(sd, f"{prefix}.k_proj"),
+        "v_proj": _dense(sd, f"{prefix}.v_proj"),
+        "att": _mha(sd, f"{prefix}.att"),
+        "norm": _norm(sd, f"{prefix}.norm"),
+    }
+
+
+def convert_checkpoint_ms(sd, cfg) -> Dict:
+    """Full reference FlashVTG_ms state_dict -> {'params': ...} flax tree."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {
+        "vid_proj": convert_input_proj(sd, "input_vid_proj", cfg.n_input_proj),
+        "txt_proj": convert_input_proj(sd, "input_txt_proj", cfg.n_input_proj),
+        "word_proj": convert_input_proj(sd, "input_word_proj", cfg.n_input_proj),
+        "token_type": {"embedding": sd["token_type_embeddings.weight"]},
+        "dummy_token": sd["dummy_rep_token"],
+        "dummy_pos": sd["dummy_rep_pos"],
+        "dummy_encoder": convert_encoder(sd, "txtproj_encoder", cfg.dummy_layers),
+        "t2v_encoder": convert_t2v_encoder(
+            sd, "transformer.t2v_encoder", cfg.t2v_layers
+        ),
+        "encoder": convert_encoder(sd, "transformer.encoder", cfg.enc_layers),
+        "pyramid": convert_pyramid(sd, cfg.strides),
+        "class_head": convert_confidence_scorer(
+            sd, "class_head", cfg.num_conv_layers, cfg.num_mlp_layers
+        ),
+        "coord_head": {
+            "conv1": {
+                "kernel": _conv1d(sd["coord_head.module.1.weight"]),
+                "bias": sd["coord_head.module.1.bias"],
+            },
+            "conv2": {
+                "kernel": _conv1d(sd["coord_head.module.3.weight"]),
+                "bias": sd["coord_head.module.3.bias"],
+            },
+        },
+        "coef": sd["coef"],
+        "saliency_proj": {
+            "proj1": _dense(sd, "saliency_proj.proj1"),
+            "proj2": _dense(sd, "saliency_proj.proj2"),
+        },
+        "phrase_generate": {
+            "word_proj": _dense(sd, "phrase_generate.word_proj"),
+            "video_proj": _dense(sd, "phrase_generate.video_proj"),
+            "learnable_phrase": sd["phrase_generate.learnable_phrase"],
+            **{
+                f"att{i}": _cross_attention_block(
+                    sd, f"phrase_generate.phrase_att.{i}"
+                )
+                for i in range(cfg.phrase_layers)
+            },
+        },
+        "phrase_context": {
+            "product": {
+                "fc_1": _dense(sd, "phrase_context.product.fc_1"),
+                "fc_2": _dense(sd, "phrase_context.product.fc_2"),
+                "fc_3": _dense(sd, "phrase_context.product.fc_3"),
+                "norm": _norm(sd, "phrase_context.product.norm"),
+                "norm1": _norm(sd, "phrase_context.product.norm1"),
+            },
+            **{
+                f"layer{i}": {
+                    "t_att": _self_attention_block(
+                        sd, f"phrase_context.layers.{i}.t_att"
+                    ),
+                    "fc_t": _dense(sd, f"phrase_context.layers.{i}.fc_t.0"),
+                    "norm_t": _norm(sd, f"phrase_context.layers.{i}.norm_t"),
+                }
+                for i in range(cfg.context_layers)
+            },
+            "local_context": {
+                "phrase_proj1": _dense(sd, "phrase_context.local_context.phrase_proj.0"),
+                "phrase_proj2": _dense(sd, "phrase_context.local_context.phrase_proj.2"),
+                **{
+                    f"kernel_k{k}": sd[
+                        f"phrase_context.local_context.kernel_params.k{k}"
+                    ]
+                    for k in (1, 3, 5)
+                },
+                "linear_out": _dense(sd, "phrase_context.local_context.linear_out"),
+                "norm": _norm(sd, "phrase_context.local_context.norm"),
+            },
+        },
+        "t_sa": {
+            f"layer{i}": {
+                "t_att": _self_attention_block(sd, f"t_sa.layers.{i}.t_att"),
+                "linear": _dense(sd, f"t_sa.layers.{i}.linear"),
+                "norm": _norm(sd, f"t_sa.layers.{i}.norm"),
+                # t_sa.layers.{i}.norm1 is a dead parameter in the reference
+            }
+            for i in range(cfg.t_sa_layers)
+        },
+    }
+    return {"params": params}

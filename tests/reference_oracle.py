@@ -63,6 +63,18 @@ def install_nncore_stub():
 
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    if "/root/reference/utils" not in sys.path:
+        sys.path.insert(0, "/root/reference/utils")  # LGI.py imports net_utils
+
+    # natten is a dead import in FlashVTG_ms/LGI.py:10 — stub it
+    if "natten" not in sys.modules:
+        natten = types.ModuleType("natten")
+        nf = types.ModuleType("natten.functional")
+        nf.natten2dqkrpb = lambda *a, **k: None
+        nf.natten2dav = lambda *a, **k: None
+        natten.functional = nf
+        sys.modules["natten"] = natten
+        sys.modules["natten.functional"] = nf
 
 
 def make_args(**overrides):
