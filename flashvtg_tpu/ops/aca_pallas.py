@@ -29,14 +29,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _aca_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, probs_ref, *, num_dummies):
+def _aca_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, probs_ref, *,
+                num_dummies, precision):
     q = q_ref[0, 0]  # (TILE_LV, Dh)
     k = k_ref[0, 0]  # (Lk, Dh)
     v = v_ref[0, 0]  # (Lk, Dh)
     valid = mask_ref[0]  # (1, Lk)
 
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
     )  # (TILE_LV, Lk)
     logits = jnp.where(valid > 0, logits, NEG_INF)
 
@@ -46,12 +48,14 @@ def _aca_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, probs_ref, *, num_dummie
     probs_ref[0, 0] = probs
 
     out_ref[0, 0] = jnp.dot(
-        probs[:, num_dummies:], v[num_dummies:], preferred_element_type=jnp.float32
+        probs[:, num_dummies:], v[num_dummies:],
+        preferred_element_type=jnp.float32, precision=precision,
     ).astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_dummies", "tile_lv", "interpret")
+    jax.jit,
+    static_argnames=("num_dummies", "tile_lv", "interpret", "precision"),
 )
 def aca_attention(
     q: jnp.ndarray,
@@ -61,6 +65,7 @@ def aca_attention(
     num_dummies: int,
     tile_lv: int = 256,
     interpret: bool = False,
+    precision: str = "highest",
 ):
     """Fused ACA attention.
 
@@ -74,6 +79,11 @@ def aca_attention(
       out: (B, H, Lv, Dh); probs: (B, H, Lv, Lk) post-softmax probabilities
       (pre value-matmul, dummies included — the reference's attention map).
     """
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
     b, h, lv, dh = q.shape
     lk = k.shape[2]
     tile = min(tile_lv, lv)
@@ -87,7 +97,7 @@ def aca_attention(
     mask2d = key_valid.reshape(b, 1, lk).astype(jnp.float32)
 
     out, probs = pl.pallas_call(
-        functools.partial(_aca_kernel, num_dummies=num_dummies),
+        functools.partial(_aca_kernel, num_dummies=num_dummies, precision=prec),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

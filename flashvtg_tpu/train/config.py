@@ -125,6 +125,9 @@ class ExperimentConfig:
     eval_precision: str = "float32"  # MXU passes at eval (parity-exact)
     train_precision: str = "bfloat16"  # MXU passes in the train step
     use_pallas: bool = False
+    debug_nans: bool = False  # jax NaN tripwire (reference: detect_anomaly)
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    use_tensorboard: bool = True
 
     # ------------------------------------------------------------------
     def __post_init__(self):

@@ -15,6 +15,7 @@ Oracle: FlashVTG/train.py (train / train_hl / train_epoch). TPU re-design:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import logging
 import os
@@ -236,31 +237,69 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
     opt_state = tx.init(params)
     step_fn = make_train_step(model, loss_cfg, tx, cfg.train_precision)
 
+    from flashvtg_tpu.utils.observability import (
+        ScalarWriter,
+        check_finite_tree,
+        enable_debug_nans,
+        profile_trace,
+    )
+
+    if cfg.debug_nans:
+        enable_debug_nans(True)
+    writer = ScalarWriter(
+        os.path.join(results_dir, "tensorboard_log"),
+        use_tensorboard=cfg.use_tensorboard,
+    )
+
     order = np.arange(len(train_dataset))
     shuffler = np.random.default_rng(cfg.seed)
     best_score, best_params, es_cnt = 0.0, params, 0
     start_epoch = cfg.start_epoch if cfg.start_epoch is not None else 0
+    global_step = 0
 
     for epoch in range(start_epoch, cfg.n_epoch):
         shuffler.shuffle(order)
         meters: Dict[str, AverageMeter] = {}
-        for i in range(steps_per_epoch):
-            idx = order[i * cfg.bsz : (i + 1) * cfg.bsz]
-            if len(idx) < cfg.bsz:
-                continue
-            batch = collator([train_dataset[j] for j in idx])
-            device_batch = {
-                k: jnp.asarray(v)
-                for k, v in batch.items()
-                if k not in ("vid", "qid", "meta", "valid_v_lens")
-            }
-            rng, sub = jax.random.split(rng)
-            params, opt_state, losses = step_fn(params, opt_state, device_batch, sub)
-            for k, v in losses.items():
-                meters.setdefault(k, AverageMeter()).update(float(v))
+        epoch_t0 = time.time()
+        trace_ctx = (
+            profile_trace(cfg.profile_dir) if epoch == start_epoch
+            else contextlib.nullcontext()
+        )
+        with trace_ctx:
+            for i in range(steps_per_epoch):
+                idx = order[i * cfg.bsz : (i + 1) * cfg.bsz]
+                if len(idx) < cfg.bsz:
+                    continue
+                batch = collator([train_dataset[j] for j in idx])
+                device_batch = {
+                    k: jnp.asarray(v)
+                    for k, v in batch.items()
+                    if k not in ("vid", "qid", "meta", "valid_v_lens")
+                }
+                rng, sub = jax.random.split(rng)
+                params, opt_state, losses = step_fn(
+                    params, opt_state, device_batch, sub
+                )
+                host_losses = {k: float(v) for k, v in losses.items()}
+                for k, v in host_losses.items():
+                    meters.setdefault(k, AverageMeter()).update(v)
+                writer.write(global_step, host_losses, prefix="train/")
+                if cfg.debug_nans and not all(
+                    np.isfinite(v) for v in host_losses.values()
+                ):
+                    check_finite_tree(params, "params")
+                global_step += 1
+        dt = time.time() - epoch_t0
+        writer.write(
+            global_step,
+            {"epoch_seconds": dt,
+             "steps_per_sec": max(steps_per_epoch, 1) / max(dt, 1e-9)},
+            prefix="perf/",
+        )
         logger.info(
-            "[epoch %d] %s",
+            "[epoch %d] (%.1fs) %s",
             epoch + 1,
+            dt,
             " ".join(f"{k} {m.avg:.4f}" for k, m in meters.items()),
         )
 
