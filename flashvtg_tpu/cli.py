@@ -43,7 +43,8 @@ def _add_config_flags(parser: argparse.ArgumentParser):
             parser.add_argument(name, type=str, default=None)
 
 
-def parse_config(argv) -> ExperimentConfig:
+def parse_config(argv):
+    """Returns (config, explicit_overrides)."""
     parser = argparse.ArgumentParser()
     parser.add_argument("config", help="preset name or data/MR*.py-style file")
     _add_config_flags(parser)
@@ -67,7 +68,7 @@ def parse_config(argv) -> ExperimentConfig:
         elif f.name == "nce_direction":
             v = tuple(v)
         overrides[f.name] = v
-    return cfg.replace(**overrides)
+    return cfg.replace(**overrides), overrides
 
 
 def main(argv=None):
@@ -84,7 +85,15 @@ def main(argv=None):
 
     setup()
     mode, rest = argv[0], argv[1:]
-    cfg = parse_config(rest)
+    cfg, overrides = parse_config(rest)
+
+    if mode == "infer" and cfg.resume:
+        # TestOptions semantics (config.py:189-203): the opt.json saved next
+        # to the checkpoint restores the training-time flags; the explicit
+        # CLI flags of THIS invocation still win.
+        opt_json = os.path.join(os.path.dirname(cfg.resume) or ".", "opt.json")
+        if os.path.exists(opt_json):
+            cfg = ExperimentConfig.load(opt_json).replace(**overrides)
 
     if mode == "train":
         from flashvtg_tpu.train.loop import train

@@ -11,6 +11,7 @@ design:
 from __future__ import annotations
 
 import dataclasses
+import os
 import random
 from os.path import join
 from typing import List, Optional, Sequence
@@ -76,13 +77,36 @@ def _load_array(path: str, key: str = "features") -> np.ndarray:
     raise ValueError(f"unsupported feature file: {path}")
 
 
-def _try_paths(paths_and_keys):
+def _try_paths(paths_and_keys, max_rows: int = 0, l2norm: bool = False):
+    """Load the first existing candidate feature file.
+
+    Prefers the native C++ loader (flashvtg_tpu.runtime — fused truncation +
+    row l2-norm, no Python zip/npy machinery) and falls back to numpy for
+    anything it declines (.pt files, exotic dtypes, missing toolchain).
+    """
+    from flashvtg_tpu import runtime
+
     last_err = None
     for path, key in paths_and_keys:
+        if not os.path.exists(path):
+            last_err = FileNotFoundError(path)
+            continue
+        native = runtime.load_features(
+            path, key or "features", max_rows=max_rows, l2norm=l2norm
+        )
+        if native is not None:
+            return native
         try:
-            return _load_array(path, key)
-        except (FileNotFoundError, KeyError, ValueError) as e:  # next candidate
+            arr = _load_array(path, key)
+        except (FileNotFoundError, KeyError, ValueError) as e:
             last_err = e
+            continue
+        arr = np.asarray(arr, np.float32)
+        if max_rows > 0:
+            arr = arr[:max_rows]
+        if l2norm:
+            arr = l2_normalize(arr)
+        return arr
     raise FileNotFoundError(f"no feature file found: {last_err}")
 
 
@@ -139,11 +163,8 @@ class VTGDataset:
             (join(cfg.q_feat_dir, f"{qid}.npz"), cfg.q_feat_type),
             (join(cfg.q_feat_dir, f"{qid}.npy"), cfg.q_feat_type),
         ]
-        q = np.asarray(_try_paths(candidates), np.float32)
-        if cfg.q_feat_type == "last_hidden_state":
-            q = q[: cfg.max_q_l]
-        if cfg.normalize_t:
-            q = l2_normalize(q)
+        trunc = cfg.max_q_l if cfg.q_feat_type == "last_hidden_state" else 0
+        q = _try_paths(candidates, max_rows=trunc, l2norm=cfg.normalize_t)
         if cfg.txt_drop_ratio > 0:
             q = self._drop_rows(q)
         return q
@@ -153,24 +174,35 @@ class VTGDataset:
         feats = []
         for d in cfg.v_feat_dirs:
             if cfg.dset_name == "tvsum":
-                try:
-                    rgb = np.load(join(d, f"{vid}_rgb.npy"))[: cfg.max_v_l]
-                    opt = np.load(join(d, f"{vid}_opt.npy"))[: cfg.max_v_l]
-                    f = np.concatenate([rgb, opt], -1).astype(np.float32)
-                except FileNotFoundError:
+                rgb_path = join(d, f"{vid}_rgb.npy")
+                if os.path.exists(rgb_path):
+                    # l2-norm runs over the rgb+opt concat — not fusable
+                    rgb = _try_paths([(rgb_path, None)], max_rows=cfg.max_v_l)
+                    opt = _try_paths(
+                        [(join(d, f"{vid}_opt.npy"), None)], max_rows=cfg.max_v_l
+                    )
+                    f = np.concatenate([rgb, opt], -1)
+                    if cfg.normalize_v:
+                        f = l2_normalize(f)
+                else:
                     f = _try_paths(
-                        [(join(d, f"{vid}.npy"), None), (join(d, f"{vid}.npz"), "features")]
-                    )[: cfg.max_v_l].astype(np.float32)
+                        [
+                            (join(d, f"{vid}.npy"), None),
+                            (join(d, f"{vid}.npz"), "features"),
+                        ],
+                        max_rows=cfg.max_v_l,
+                        l2norm=cfg.normalize_v,
+                    )
             else:
                 f = _try_paths(
                     [
                         (join(d, f"{vid}.npz"), "features"),
                         (join(d, f"{vid}.pt"), None),
                         (join(d, f"{vid}.npy"), None),
-                    ]
-                )[: cfg.max_v_l].astype(np.float32)
-            if cfg.normalize_v:
-                f = l2_normalize(f)
+                    ],
+                    max_rows=cfg.max_v_l,
+                    l2norm=cfg.normalize_v,
+                )
             feats.append(f)
         n = min(len(f) for f in feats)
         return np.concatenate([f[:n] for f in feats], axis=1)

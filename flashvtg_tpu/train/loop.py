@@ -172,24 +172,45 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest"):
 
 
 def save_checkpoint(path: str, params, opt_state, epoch: int, cfg):
+    """Full train state: params + optimizer state + epoch (reference saves
+    {model, optimizer, lr_scheduler, epoch, opt}, train.py:200-233)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(
         os.path.abspath(path),
-        {"params": params, "epoch": np.asarray(epoch)},
+        {
+            "params": params,
+            "opt_state": opt_state,
+            "epoch": np.asarray(epoch),
+        },
         force=True,
     )
     ckptr.wait_until_finished()
     cfg.save(os.path.join(os.path.dirname(os.path.abspath(path)), "opt.json"))
 
 
-def load_checkpoint(path: str, like=None):
+def load_checkpoint(path: str, like=None, opt_state_like=None):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    target = {"params": like, "epoch": np.asarray(0)} if like is not None else None
-    return ckptr.restore(os.path.abspath(path), target)
+    target = None
+    if like is not None:
+        target = {
+            "params": like,
+            "opt_state": opt_state_like,
+            "epoch": np.asarray(0),
+        }
+        if opt_state_like is None:
+            target.pop("opt_state")
+    try:
+        return ckptr.restore(os.path.abspath(path), target)
+    except Exception:
+        # older checkpoints without opt_state
+        if target is not None and "opt_state" in target:
+            target.pop("opt_state")
+            return ckptr.restore(os.path.abspath(path), target)
+        raise
 
 
 def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
@@ -200,6 +221,12 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
     )
     os.makedirs(results_dir, exist_ok=True)
     cfg.save(os.path.join(results_dir, "opt.json"))
+    try:
+        from flashvtg_tpu.utils.snapshot import snapshot_code
+
+        snapshot_code(results_dir)
+    except Exception as e:  # snapshot failures must never kill training
+        logger.warning("code snapshot failed: %s", e)
 
     train_dataset = VTGDataset(_dataset_cfg(cfg, cfg.train_path))
     eval_dataset = (
@@ -228,13 +255,20 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
         jnp.asarray(init_batch["src_vid_mask"][:1]),
         train=False,
     )
-    if cfg.resume:
-        restored = load_checkpoint(cfg.resume, like=params)
-        params = restored["params"]
-
     steps_per_epoch = max(1, len(train_dataset) // cfg.bsz)
     tx, _ = make_optimizer(cfg, steps_per_epoch)
     opt_state = tx.init(params)
+    start_epoch_override = None
+    if cfg.resume:
+        restored = load_checkpoint(
+            cfg.resume, like=params,
+            opt_state_like=opt_state if cfg.resume_all else None,
+        )
+        params = restored["params"]
+        if cfg.resume_all:
+            if "opt_state" in restored:
+                opt_state = restored["opt_state"]
+            start_epoch_override = int(restored.get("epoch", -1)) + 1
     step_fn = make_train_step(model, loss_cfg, tx, cfg.train_precision)
 
     from flashvtg_tpu.utils.observability import (
@@ -254,7 +288,12 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
     order = np.arange(len(train_dataset))
     shuffler = np.random.default_rng(cfg.seed)
     best_score, best_params, es_cnt = 0.0, params, 0
-    start_epoch = cfg.start_epoch if cfg.start_epoch is not None else 0
+    if cfg.start_epoch is not None:
+        start_epoch = cfg.start_epoch
+    elif start_epoch_override is not None:
+        start_epoch = start_epoch_override
+    else:
+        start_epoch = 0
     global_step = 0
 
     for epoch in range(start_epoch, cfg.n_epoch):
