@@ -45,6 +45,10 @@ class DataConfig:
     dset_domain: Optional[str] = None
     seed: int = 2024
     preload: bool = True
+    # FlashVTG_ms delta (FlashVTG_ms/start_end_dataset.py:442): InternVideo2
+    # .npy text features get reordered so the [EOS] token comes first and the
+    # first 4 tokens are dropped
+    eos_first: bool = False
 
 
 def strip_vid_suffix(vid: str) -> str:
@@ -164,7 +168,19 @@ class VTGDataset:
             (join(cfg.q_feat_dir, f"{qid}.npy"), cfg.q_feat_type),
         ]
         trunc = cfg.max_q_l if cfg.q_feat_type == "last_hidden_state" else 0
-        q = _try_paths(candidates, max_rows=trunc, l2norm=cfg.normalize_t)
+        npy_path = join(cfg.q_feat_dir, f"{qid}.npy")
+        if cfg.eos_first and os.path.exists(npy_path) and not any(
+            os.path.exists(p) for p, _ in candidates[:2]
+        ):
+            # reorder BEFORE truncation/normalization, so no fused load
+            q = _try_paths([(npy_path, None)])
+            q = np.concatenate([q[-1:], q[4:-1]], axis=0)
+            if trunc:
+                q = q[:trunc]
+            if cfg.normalize_t:
+                q = l2_normalize(q)
+        else:
+            q = _try_paths(candidates, max_rows=trunc, l2norm=cfg.normalize_t)
         if cfg.txt_drop_ratio > 0:
             q = self._drop_rows(q)
         return q

@@ -43,6 +43,21 @@ def sine_position_embedding(
     return pos.reshape(pos.shape[0], pos.shape[1], -1)
 
 
+class TrainablePositionalEncoding(nn.Module):
+    """Learned absolute positions + LN + dropout over text tokens
+    (oracle: position_encoding.py:10-32; active under --use_txt_pos)."""
+
+    max_positions: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, dropout: float = 0.1):
+        b, l, d = x.shape
+        table = nn.Embed(self.max_positions, d, name="positions")
+        pos = table(jnp.arange(l))
+        out = nn.LayerNorm(epsilon=1e-5, name="norm")(x + pos[None])
+        return nn.Dropout(dropout)(out, deterministic=deterministic)
+
+
 class PReLU(nn.Module):
     """Learnable leaky-ReLU with a single shared slope (torch nn.PReLU())."""
 

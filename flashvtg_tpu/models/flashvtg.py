@@ -57,6 +57,7 @@ class ModelConfig:
     input_dropout: float = 0.5
     n_input_proj: int = 2
     use_txt_pos: bool = False
+    max_q_l: int = 100  # learned text-PE table size (config.py:128-132)
     strides: Tuple[int, ...] = (1, 2, 4, 8)
     kernel_size: int = 3  # ConfidenceScorer conv kernel (--kernel_size flag)
     coord_kernel_size: int = 3  # ConvHead kernel (coord_head_cfg kernal_size)
@@ -112,7 +113,18 @@ class FlashVTGModel(nn.Module):
 
         # --- position embeddings (model.py:154-155) ---
         pos_vid = sine_position_embedding(src_vid_mask, d)
-        pos_txt = jnp.zeros_like(txt)  # use_txt_pos defaults to False
+        if cfg.use_txt_pos:
+            # quirk preserved: the learned text PE returns LN(x+pos), i.e. a
+            # full re-embedding of the text, used *as* the position tensor
+            from flashvtg_tpu.models.components import (
+                TrainablePositionalEncoding,
+            )
+
+            pos_txt = TrainablePositionalEncoding(
+                max(cfg.max_q_l, lq), name="txt_pos"
+            )(txt, deterministic=det, dropout=cfg.input_dropout)
+        else:
+            pos_txt = jnp.zeros_like(txt)
 
         # --- dummy tokens refreshed by a text self-attn encoder
         #     (model.py:157-176) ---

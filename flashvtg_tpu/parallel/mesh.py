@@ -50,3 +50,16 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 def replicate_params(mesh: Mesh, params):
     rep = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, rep), params)
+
+
+def shard_rows_for_host(rows, process_index: Optional[int] = None,
+                        process_count: Optional[int] = None):
+    """Partition dataset rows across hosts (DCN level).
+
+    Each host feeds only its slice to its local devices; the mesh's data
+    axis then splits each host batch across that host's chips over ICI.
+    Deterministic strided split so every host sees a class-balanced stream.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return rows[pi::pc]

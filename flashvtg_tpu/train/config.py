@@ -39,6 +39,7 @@ class ExperimentConfig:
     no_norm_vfeat: bool = False
     no_norm_tfeat: bool = False
     txt_drop_ratio: float = 0.0
+    eos_first: bool = False  # _ms InternVideo2 text reordering
 
     # lengths / batching
     max_q_l: int = 32
@@ -157,6 +158,7 @@ class ExperimentConfig:
             input_dropout=self.input_dropout,
             n_input_proj=self.n_input_proj,
             use_txt_pos=self.use_txt_pos,
+            max_q_l=self.max_q_l if self.max_q_l > 0 else 100,
             strides=tuple(self.strides),
             kernel_size=self.kernel_size,
             num_conv_layers=self.num_conv_layers,

@@ -125,6 +125,7 @@ def _dataset_cfg(cfg: ExperimentConfig, path: str, load_labels=True) -> DataConf
         txt_drop_ratio=cfg.txt_drop_ratio,
         dset_domain=cfg.dset_domain,
         seed=cfg.seed,
+        eos_first=getattr(cfg, "eos_first", False),
     )
 
 

@@ -187,6 +187,13 @@ def convert_checkpoint(sd, cfg) -> Dict:
         "coef": sd["coef"],
         "blend": sd["x"].reshape(()),
     }
+    if cfg.use_txt_pos and "txt_position_embed.position_embeddings.weight" in sd:
+        params["txt_pos"] = {
+            "positions": {
+                "embedding": sd["txt_position_embed.position_embeddings.weight"]
+            },
+            "norm": _norm(sd, "txt_position_embed.LayerNorm"),
+        }
     return {"params": params}
 
 

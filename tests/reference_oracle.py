@@ -124,6 +124,10 @@ def build_reference_model(args, strides=(1, 2, 4, 8), buffer_size=1024,
         input_dropout=args.input_dropout,
         txt_dim=args.t_feat_dim,
         vid_dim=args.v_feat_dim,
+        # note: the reference's build_model1 never forwards use_txt_pos —
+        # the --use_txt_pos flag is dead on its standard build path; pass it
+        # here to exercise the learned-PE architecture as an oracle
+        use_txt_pos=getattr(args, "use_txt_pos", False),
         strides=strides,
         buffer_size=buffer_size,
         max_num_moment=max_num_moment,

@@ -200,3 +200,50 @@ def test_train_outputs_finite(pair):
     )
     for key in ("saliency_scores", "out_class", "out_coord", "saliency_scores_neg"):
         assert np.isfinite(np.asarray(out[key])).all(), key
+
+
+def test_use_txt_pos_parity():
+    """Learned text-PE path (--use_txt_pos, model.py:155)."""
+    torch.manual_seed(1)
+    args = make_args(
+        v_feat_dim=V_DIM, t_feat_dim=T_DIM, use_txt_pos=True, max_q_l=LQ
+    )
+    ref = build_reference_model(args)
+    cfg = ModelConfig(
+        vid_dim=V_DIM,
+        txt_dim=T_DIM,
+        num_dummies=args.num_dummies,
+        dummy_layers=args.dummy_layers,
+        t2v_layers=args.t2v_layers,
+        enc_layers=args.enc_layers,
+        kernel_size=args.kernel_size,
+        num_conv_layers=args.num_conv_layers,
+        num_mlp_layers=args.num_mlp_layers,
+        clip_length=args.clip_length,
+        use_neg=False,
+        use_txt_pos=True,
+        max_q_l=LQ,
+    )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_checkpoint(sd, cfg)
+    model = FlashVTGModel(cfg)
+
+    rng = np.random.default_rng(11)
+    src_txt, txt_mask, src_vid, vid_mask = _inputs(rng)
+    with torch.no_grad():
+        out_ref = ref(
+            torch.from_numpy(src_txt), torch.ones(1, LQ),
+            torch.from_numpy(src_vid), torch.ones(1, LV),
+            ["vid_a_1.0_2.0"], [1], targets={},
+        )
+    out = model.apply(
+        params,
+        jnp.asarray(src_txt), jnp.asarray(txt_mask),
+        jnp.asarray(src_vid), jnp.asarray(vid_mask),
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["saliency_scores"])[0],
+        out_ref["saliency_scores"].numpy()[0],
+        atol=3e-4,
+    )

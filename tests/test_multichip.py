@@ -1,0 +1,104 @@
+"""Multi-device sharding: full sharded train step on the 8-device CPU mesh.
+
+Mirrors what the driver validates via __graft_entry__.dryrun_multichip, and
+additionally checks that the data-parallel step yields the same parameters
+as a single-device step on the identical batch (XLA collectives correct).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flashvtg_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_params,
+    shard_batch,
+    shard_rows_for_host,
+)
+from flashvtg_tpu.models.flashvtg import FlashVTGModel, ModelConfig
+from flashvtg_tpu.losses.criterion import LossConfig
+from flashvtg_tpu.train.loop import make_optimizer, make_train_step
+from flashvtg_tpu.train.config import ExperimentConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = ModelConfig(
+        vid_dim=18, txt_dim=12, hidden_dim=32, dim_feedforward=64,
+        nheads=4, enc_layers=1, t2v_layers=1, dummy_layers=1, num_dummies=2,
+        num_conv_layers=1, num_mlp_layers=2, strides=(1, 2), use_neg=True,
+    )
+    model = FlashVTGModel(cfg)
+    lv, lq, b = 16, 8, 8
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, lq, cfg.txt_dim)), jnp.ones((1, lq)),
+        jnp.zeros((1, lv, cfg.vid_dim)), jnp.ones((1, lv)),
+        train=False,
+    )
+    host = np.random.default_rng(0)
+    batch = {
+        "src_txt": host.standard_normal((b, lq, cfg.txt_dim)).astype(np.float32),
+        "src_txt_mask": np.ones((b, lq), np.float32),
+        "src_vid": host.standard_normal((b, lv, cfg.vid_dim)).astype(np.float32),
+        "src_vid_mask": np.ones((b, lv), np.float32),
+        "saliency_all_labels": host.integers(0, 4, (b, lv)).astype(np.float32),
+        "saliency_pos_labels": host.integers(0, lv, (b, 2)),
+        "saliency_neg_labels": host.integers(0, lv, (b, 2)),
+        "gt_windows": np.tile(np.asarray([[[2.0, 10.0]]], np.float32), (b, 1, 1)),
+        "real_neg_mask": np.ones((b,), np.float32),
+    }
+    exp = ExperimentConfig(grad_clip=0.1, lr=1e-3, lr_drop=100)
+    tx, _ = make_optimizer(exp, steps_per_epoch=10)
+    loss_cfg = LossConfig(clip_length=2.0)
+    step = make_train_step(model, loss_cfg, tx, "float32")
+    return model, params, batch, tx, step
+
+
+def test_sharded_step_matches_single_device(tiny_setup):
+    model, params, batch, tx, step = tiny_setup
+    assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
+
+    # single device
+    opt_state = tx.init(params)
+    p1, _, losses1 = step(
+        params, opt_state, {k: jnp.asarray(v) for k, v in batch.items()},
+        jax.random.PRNGKey(1),
+    )
+
+    # 8-way data parallel
+    mesh = make_mesh(data=8, model=1)
+    params_r = replicate_params(mesh, params)
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+        if hasattr(x, "shape") else x,
+        tx.init(params_r),
+    )
+    device_batch = shard_batch(mesh, batch)
+    p8, _, losses8 = step(params_r, opt_state, device_batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(losses1["weighted_loss_overall"]),
+        float(losses8["weighted_loss_overall"]),
+        rtol=1e-5,
+    )
+    # cross-device reduction order perturbs gradients at float epsilon, and
+    # Adam's 1/sqrt(v) amplifies that on near-zero leaves — compare with an
+    # absolute floor above that noise
+    flat1 = jax.tree.leaves(p1)
+    flat8 = jax.tree.leaves(p8)
+    for a, b_ in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-3, atol=2e-5
+        )
+
+
+def test_shard_rows_for_host():
+    rows = list(range(10))
+    parts = [shard_rows_for_host(rows, i, 4) for i in range(4)]
+    assert sorted(sum(parts, [])) == rows
+    assert parts[0] == [0, 4, 8]
