@@ -1,0 +1,66 @@
+"""Window converters, precision@k, dataset prep, config-file loading."""
+
+import numpy as np
+
+from flashvtg_tpu.data.prep import TVSUM_SPLITS, build_rows
+from flashvtg_tpu.ops.windows import (
+    accuracy_at_k,
+    clip_ids_to_windows,
+    clip_window_to_seconds,
+    windows_to_clip_ids,
+)
+from flashvtg_tpu.train.config import apply_model_cfg, ExperimentConfig, load_model_cfg_file
+
+
+def test_clip_windows_roundtrip():
+    ids = [56, 57, 58, 59, 60, 61, 62, 64, 67, 68, 69, 70, 71]
+    wins = clip_ids_to_windows(ids)
+    assert wins == [[56, 62], [64, 64], [67, 71]]
+    assert windows_to_clip_ids(wins) == ids
+    assert clip_window_to_seconds([10, 19], 2) == [20, 40]
+
+
+def test_accuracy_at_k():
+    scores = np.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    acc1, acc2 = accuracy_at_k(scores, [1, 1], topk=(1, 2))
+    assert acc1 == 50.0 and acc2 == 100.0
+
+
+def test_prep_build_rows_tvsum():
+    anno = {
+        "WxtbjNsCQ8A": {
+            "title": "bike stunt",
+            "frames": 3000,
+            "fps": 30,
+            "anno": np.random.default_rng(0).integers(1, 6, (50, 20)).tolist(),
+            "domain": "BK",
+        },
+        "Se3oxnaPsz0": {
+            "title": "val video",
+            "frames": 1500,
+            "fps": 30,
+            "anno": np.random.default_rng(1).integers(1, 6, (25, 20)).tolist(),
+            "domain": "BK",
+        },
+    }
+    train, val = build_rows(anno, TVSUM_SPLITS, "tvsum")
+    assert len(train) == 1 and len(val) == 1
+    row = train[0]
+    assert row["vid"] == "WxtbjNsCQ8A"
+    assert row["duration"] == 100.0
+    assert len(row["label"]) == 50 and len(row["label"][0]) == 1
+
+
+def test_model_cfg_files():
+    for name, strides, cls in [
+        ("configs/MR.py", (1, 2, 4, 8), "focal"),
+        ("configs/MR_16.py", (1, 2, 4, 8, 16), "focal"),
+        ("configs/HD.py", (1,), "dynamic_bce"),
+    ]:
+        cfg = apply_model_cfg(ExperimentConfig(), load_model_cfg_file(name))
+        assert tuple(cfg.strides) == strides
+        assert cfg.loss_cls == cls
+    gfl = apply_model_cfg(ExperimentConfig(), load_model_cfg_file("configs/MR_GFL.py"))
+    assert gfl.loss_qfl and gfl.loss_cls is None
+    hd = apply_model_cfg(ExperimentConfig(), load_model_cfg_file("configs/HD.py"))
+    assert hd.loss_reg is None and hd.nce_direction == ("row",)
