@@ -93,6 +93,8 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
         losses["weighted_loss_overall"] = total
         return total, losses
 
+    loss_keys: list = []
+
     @jax.jit
     def step(params, opt_state, batch, rng):
         with jax.default_matmul_precision(precision):
@@ -101,9 +103,19 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
             )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, losses
+        # stack scalars so the host fetches ONE array per step instead of one
+        # RPC per loss (dispatch latency dominates on tunneled TPU targets)
+        keys = sorted(losses)
+        loss_keys.clear()
+        loss_keys.extend(keys)
+        return params, opt_state, jnp.stack([losses[k] for k in keys])
 
-    return step
+    def run_step(params, opt_state, batch, rng):
+        params, opt_state, vec = step(params, opt_state, batch, rng)
+        host = np.asarray(vec)
+        return params, opt_state, dict(zip(loss_keys, host.tolist()))
+
+    return run_step
 
 
 def _dataset_cfg(cfg: ExperimentConfig, path: str, load_labels=True) -> DataConfig:
