@@ -1,16 +1,27 @@
-# Moment-retrieval model structure (reference-compatible: data/MR.py)
+# Moment-retrieval model structure.
+#
+# This file is exec-compatible with the reference's nncore-style config
+# surface (the framework reads the `model` dict; `_base_` lines are accepted
+# and ignored). Values correspond to the standard MR setup: a 4-level
+# temporal pyramid with focal classification, L1 boundary regression and the
+# sampled-NCE saliency alignment loss.
+
+_strides = (1, 2, 4)  # pyramid variant (MR_4)
+_anchor_buffer = 1024            # max anchor points cached per level
+_top_moments = 50                # ranked moments emitted per query
+
 model = dict(
-    strides=(1, 2, 4),
-    buffer_size=1024,
-    max_num_moment=50,
+    strides=_strides,
+    buffer_size=_anchor_buffer,
+    max_num_moment=_top_moments,
     pyramid_cfg=dict(type="ConvPyramid"),
     pooling_cfg=dict(type="AdaPooling"),
     coord_head_cfg=dict(type="ConvHead", kernal_size=3),
     loss_cfg=dict(
         type="BundleLoss",
-        sample_radius=1.5,
-        loss_cls=dict(type="FocalLoss"),
-        loss_reg=dict(type="L1Loss"),
-        loss_sal=dict(type="SampledNCELoss"),
+        sample_radius=1.5,                      # center-sampling radius
+        loss_cls=dict(type="FocalLoss"),        # anchor classification
+        loss_reg=dict(type="L1Loss"),           # boundary offsets
+        loss_sal=dict(type="SampledNCELoss"),   # clip/query alignment
     ),
 )

@@ -272,6 +272,21 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
     tx, _ = make_optimizer(cfg, steps_per_epoch)
     opt_state = tx.init(params)
     start_epoch_override = None
+    if cfg.resume == "auto":
+        # crash-recovery: resume from the newest model_latest under
+        # results_root (orbax checkpoints are atomic — a partial save never
+        # finalizes, so the newest finalized dir is always consistent)
+        import glob as _glob
+
+        candidates = sorted(
+            _glob.glob(os.path.join(cfg.results_root, "*", "model_latest")),
+            key=os.path.getmtime,
+        )
+        cfg = cfg.replace(
+            resume=candidates[-1] if candidates else None, resume_all=True
+        )
+        if cfg.resume:
+            logger.info("auto-resume from %s", cfg.resume)
     if cfg.resume:
         restored = load_checkpoint(
             cfg.resume, like=params,

@@ -1,0 +1,108 @@
+"""Variable-length (TACoS-style) inference: bucketed static shapes must not
+change per-video results — a video batched next to a much longer one (padded
+to a larger bucket) yields the same windows as when evaluated alone."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from flashvtg_tpu.data.collate import Collator
+from flashvtg_tpu.data.dataset import DataConfig, VTGDataset
+from flashvtg_tpu.models.flashvtg import FlashVTGModel
+from flashvtg_tpu.ops.pad import bucket_length
+from flashvtg_tpu.train.config import from_preset
+from flashvtg_tpu.train.infer import run_mr_inference
+from flashvtg_tpu.utils.io import save_jsonl
+
+V_DIM, T_DIM = 24, 16
+
+
+def _make_env(root, lengths):
+    (root / "vid").mkdir()
+    (root / "txt").mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    for i, lv in enumerate(lengths):
+        rows.append(
+            {
+                "qid": 1000 + i,
+                "query": f"query {i}",
+                "vid": f"v{i}",
+                "duration": lv * 2.0,
+                "relevant_windows": [[0.0, 8.0]],
+            }
+        )
+        np.savez(root / "vid" / f"v{i}.npz",
+                 features=rng.standard_normal((lv, V_DIM), dtype=np.float32))
+        np.savez(root / "txt" / f"qid{1000 + i}.npz",
+                 last_hidden_state=rng.standard_normal((9, T_DIM), dtype=np.float32))
+    save_jsonl(rows, root / "val.jsonl")
+    return rows
+
+
+def test_bucket_length():
+    assert bucket_length(30, (75, 256)) == 75
+    assert bucket_length(75, (75, 256)) == 75
+    assert bucket_length(76, (75, 256)) == 256
+    assert bucket_length(9999, (75, 256)) == 256  # clamps to last
+
+
+@pytest.mark.parametrize("pair_lengths", [[30, 200]])
+def test_bucket_invariance(tmp_path, pair_lengths):
+    rows = _make_env(tmp_path, pair_lengths)
+    cfg = from_preset(
+        "tacos",
+        v_feat_dim=V_DIM,
+        t_feat_dim=T_DIM,
+        v_feat_dirs=(str(tmp_path / "vid"),),
+        t_feat_dir=str(tmp_path / "txt"),
+        eval_path=str(tmp_path / "val.jsonl"),
+        max_v_l=-1,  # unbounded: bucketed static shapes
+        max_q_l=12,
+        v_buckets=(64, 256),
+        num_dummies=3, t2v_layers=1, enc_layers=1, dummy_layers=1,
+        num_conv_layers=1, num_mlp_layers=2,
+        eval_bsz=2, nms_thd=-1.0, eval_precision="float32",
+    )
+    model = FlashVTGModel(cfg.model_config())
+    import jax.numpy as jnp
+
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init, static_argnames="train")(
+        {"params": rng},
+        jnp.zeros((1, 12, T_DIM)), jnp.ones((1, 12)),
+        jnp.zeros((1, 64, V_DIM + 2)), jnp.ones((1, 64)),
+        train=False,
+    )
+
+    def dataset_for(path):
+        return VTGDataset(
+            DataConfig(
+                dset_name="tacos", data_path=str(path),
+                v_feat_dirs=(str(tmp_path / "vid"),),
+                q_feat_dir=str(tmp_path / "txt"),
+                max_q_l=12, max_v_l=100_000_000, clip_len=2.0,
+            )
+        )
+
+    # batched together: short video padded into the 256 bucket
+    sub_both, _ = run_mr_inference(cfg, model, params, dataset_for(tmp_path / "val.jsonl"))
+
+    # short video alone: lands in the 64 bucket
+    save_jsonl(rows[:1], tmp_path / "short.jsonl")
+    sub_short, _ = run_mr_inference(
+        cfg.replace(eval_bsz=1), model, params, dataset_for(tmp_path / "short.jsonl")
+    )
+
+    both = {s["qid"]: s for s in sub_both}
+    alone = sub_short[0]
+    a = np.asarray(alone["pred_relevant_windows"])
+    b = np.asarray(both[alone["qid"]]["pred_relevant_windows"])
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a[:, 2], b[:, 2], atol=5e-4)
+    np.testing.assert_allclose(np.sort(a[:, 0]), np.sort(b[:, 0]), atol=1e-5)
+    # both videos hit the max_num_moment cap; windows stay within duration
+    assert len(np.asarray(both[1001]["pred_relevant_windows"])) == 50
+    long_rows = np.asarray(both[1001]["pred_relevant_windows"])
+    assert long_rows[:, 1].max() <= 400.0  # 200 clips * 2s
