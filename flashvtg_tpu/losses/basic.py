@@ -118,7 +118,12 @@ def sampled_nce_loss(
     vn = video_emb / jnp.linalg.norm(video_emb, axis=-1, keepdims=True).clip(1e-8)
     qn = query_emb / jnp.linalg.norm(query_emb, axis=-1, keepdims=True).clip(1e-8)
     i_sim = (vn * qn).sum(-1) * scale  # (B, L) cosine * scale
-    i_sim = i_sim + jnp.where(loss_msk > 0, 0.0, -jnp.inf)
+    # finite mask value, NOT -inf: under fixed-bucket padding a clip column
+    # can be masked in EVERY row, and log-softmax over an all--inf column
+    # poisons the backward pass with NaNs (the reference's batch-max padding
+    # never produces such columns). -1e30 underflows identically in the
+    # softmax for any row/column with at least one valid entry.
+    i_sim = i_sim + jnp.where(loss_msk > 0, 0.0, -1e30)
 
     loss = 0.0
     if "row" in direction:

@@ -100,7 +100,9 @@ def loss_sal_ms(sim_score, video_msk, saliency, pos_clip,
     pos_scores = saliency[rows, pos_clip][:, None]
     loss_msk = (saliency <= pos_scores) * video_msk
     scale = jnp.minimum(jnp.exp(jnp.log(1.0 / temperature)), max_scale)
-    i_sim = sim_score * scale + jnp.where(loss_msk > 0, 0.0, -jnp.inf)
+    # finite mask value (see losses/basic.py sampled_nce_loss): all-masked
+    # columns under fixed-bucket padding would NaN the backward with -inf
+    i_sim = sim_score * scale + jnp.where(loss_msk > 0, 0.0, -1e30)
     loss = 0.0
     loss -= jax.nn.log_softmax(i_sim, axis=1)[rows, pos_clip].sum() / b
     loss -= jax.nn.log_softmax(i_sim.T, axis=1)[pos_clip, rows].sum() / b

@@ -86,7 +86,9 @@ def aca_attention(
     }[precision]
     b, h, lv, dh = q.shape
     lk = k.shape[2]
-    tile = min(tile_lv, lv)
+    # tiles must be sublane-aligned (multiples of 8 for f32)
+    tile = min(tile_lv, -(-lv // 8) * 8)
+    tile = max(8, (tile // 8) * 8)
     # pad the video axis to a tile multiple (static)
     pad = (-lv) % tile
     if pad:
