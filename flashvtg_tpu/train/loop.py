@@ -389,4 +389,5 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
         save_checkpoint(
             os.path.join(results_dir, "model_latest"), params, opt_state, epoch, cfg
         )
+    writer.close()
     return best_params, best_score, results_dir
