@@ -26,6 +26,11 @@ import sys
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
+# persistent compile cache: repeated suite runs skip recompilation
+from flashvtg_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/flashvtg_tpu_xla_cpu"))
+
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 
