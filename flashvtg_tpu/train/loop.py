@@ -115,6 +115,11 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
         host = np.asarray(vec)
         return params, opt_state, dict(zip(loss_keys, host.tolist()))
 
+    # async variant: returns the on-device loss vector without fetching, so
+    # the next batch's host work and H2D transfer overlap this step's
+    # compute; fetch once per epoch via `keys()`
+    run_step.device_step = step
+    run_step.keys = lambda: list(loss_keys)
     return run_step
 
 
@@ -332,6 +337,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
             profile_trace(cfg.profile_dir) if epoch == start_epoch
             else contextlib.nullcontext()
         )
+        epoch_vecs = []
         with trace_ctx:
             for i in range(steps_per_epoch):
                 idx = order[i * cfg.bsz : (i + 1) * cfg.bsz]
@@ -344,18 +350,27 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
                     if k not in ("vid", "qid", "meta", "valid_v_lens")
                 }
                 rng, sub = jax.random.split(rng)
-                params, opt_state, losses = step_fn(
+                # async step: losses stay on device so host-side collation and
+                # the H2D transfer of step i+1 overlap step i's compute
+                params, opt_state, vec = step_fn.device_step(
                     params, opt_state, device_batch, sub
                 )
-                host_losses = {k: float(v) for k, v in losses.items()}
-                for k, v in host_losses.items():
-                    meters.setdefault(k, AverageMeter()).update(v)
-                writer.write(global_step, host_losses, prefix="train/")
-                if cfg.debug_nans and not all(
-                    np.isfinite(v) for v in host_losses.values()
-                ):
-                    check_finite_tree(params, "params")
+                epoch_vecs.append(vec)
                 global_step += 1
+        # one host fetch per epoch
+        keys = step_fn.keys()
+        for s, vec in enumerate(epoch_vecs):
+            host_losses = dict(zip(keys, np.asarray(vec).tolist()))
+            for k, v in host_losses.items():
+                meters.setdefault(k, AverageMeter()).update(v)
+            writer.write(
+                global_step - len(epoch_vecs) + s, host_losses, prefix="train/"
+            )
+        if cfg.debug_nans and meters and not all(
+            np.isfinite(m.avg) for m in meters.values()
+        ):
+            check_finite_tree(params, "params")
+        losses = host_losses if epoch_vecs else {}
         dt = time.time() - epoch_t0
         writer.write(
             global_step,
