@@ -125,6 +125,9 @@ class ExperimentConfig:
     # runtime
     eval_precision: str = "float32"  # MXU passes at eval (parity-exact)
     train_precision: str = "bfloat16"  # MXU passes in the train step
+    # dtype for feature tensors on the host->device wire during training;
+    # "bfloat16" halves transfer bytes (params/compute stay f32-promoted)
+    transfer_dtype: str = "float32"
     use_pallas: bool = False
     debug_nans: bool = False  # jax NaN tripwire (reference: detect_anomaly)
     profile_dir: Optional[str] = None  # jax.profiler trace output

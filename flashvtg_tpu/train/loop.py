@@ -344,8 +344,16 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
                 if len(idx) < cfg.bsz:
                     continue
                 batch = collator([train_dataset[j] for j in idx])
+                tdt = (
+                    jnp.bfloat16
+                    if getattr(cfg, "transfer_dtype", "float32") == "bfloat16"
+                    else None
+                )
                 device_batch = {
-                    k: jnp.asarray(v)
+                    k: jnp.asarray(
+                        v,
+                        dtype=tdt if tdt and k in ("src_vid", "src_txt") else None,
+                    )
                     for k, v in batch.items()
                     if k not in ("vid", "qid", "meta", "valid_v_lens")
                 }
