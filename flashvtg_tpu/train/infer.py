@@ -26,12 +26,15 @@ from flashvtg_tpu.models.points import pyramid_masks_strict
 from flashvtg_tpu.ops.nms import suppress_overlaps
 
 
-def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32"):
+def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32",
+                   saliency_only: bool = False):
     """One jitted program: forward + decode + rank for a query batch.
 
     `precision` sets the MXU matmul passes: "float32" (6-pass bf16, exact
     parity with the f32 reference), "tensorfloat32" (3-pass), or "bfloat16"
     (fastest; the default-precision TPU mode, ~1e-2 relative error).
+    `saliency_only` skips the boundary decode (HL datasets consume only the
+    saliency channel).
     """
 
     use_dfl = bool(getattr(model.cfg, "use_dfl", False))
@@ -43,6 +46,9 @@ def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32")
                 params, src_txt, src_txt_mask, src_vid, src_vid_mask,
                 point_valid=point_valid, train=False,
             )
+        if saliency_only:
+            sal = out["saliency_scores"]
+            return sal, sal, sal  # uniform arity with the MR step
         if use_dfl:
             from flashvtg_tpu.models.flashvtg_ms import decode_boundaries_dfl
 
@@ -191,7 +197,8 @@ def run_hl_inference(cfg, model: FlashVTGModel, params, dataset: VTGDataset):
         fixed_v_len=cfg.max_v_l if cfg.max_v_l > 0 else None,
     )
     step = make_eval_step(
-        model, cfg.max_num_moment, getattr(cfg, "eval_precision", "float32")
+        model, cfg.max_num_moment, getattr(cfg, "eval_precision", "float32"),
+        saliency_only=True,
     )
     preds, labels = [], []
     for real, batch in _batched(dataset, collator, cfg.eval_bsz):
