@@ -22,12 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-N_QUERIES = 256
+N_QUERIES = 512
 # One dispatch covers the full query set: per-call dispatch latency through
 # the axon tunnel dominates at small batches (measured: 8x32 -> ~1.1k q/s,
 # 1x256 -> ~5.6k q/s for identical math), and a serving deployment batches
 # aggressively anyway.
-BATCH = 256
+BATCH = 512
 LV, LQ = 75, 32
 V_DIM, T_DIM = 2816, 512
 BASELINE_QUERIES = 32  # reference bsz=1 CPU loop is slow; subsample and scale
