@@ -134,10 +134,6 @@ class ExperimentConfig:
     use_tensorboard: bool = True
 
     # ------------------------------------------------------------------
-    def __post_init__(self):
-        if self.use_tef:
-            pass
-
     @property
     def use_tef(self) -> bool:
         return "tef" in self.ctx_mode

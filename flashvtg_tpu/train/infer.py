@@ -26,6 +26,7 @@ from flashvtg_tpu.models.points import pyramid_masks_strict
 from flashvtg_tpu.ops.nms import suppress_overlaps
 
 
+@functools.lru_cache(maxsize=16)
 def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32",
                    saliency_only: bool = False):
     """One jitted program: forward + decode + rank for a query batch.
