@@ -1,0 +1,50 @@
+"""CLI surfaces: metric CLI against the golden fixture, config parsing."""
+
+import json
+import pathlib
+
+import pytest
+
+from flashvtg_tpu.cli import parse_config
+from flashvtg_tpu.eval.cli import main as eval_main
+
+REF = pathlib.Path("/root/reference")
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.mark.skipif(
+    not (REF / "standalone_eval/sample_val_preds.jsonl").exists(),
+    reason="reference fixtures absent",
+)
+def test_eval_cli_golden(tmp_path):
+    out = tmp_path / "metrics.json"
+    eval_main(
+        [
+            "--submission_path", str(REF / "standalone_eval/sample_val_preds.jsonl"),
+            "--gt_path", str(REF / "data/highlight_val_release.jsonl"),
+            "--save_path", str(out),
+            "--not_verbose",
+        ]
+    )
+    got = json.load(open(out))
+    expected = json.load(
+        open(FIXTURES / "sample_val_preds_metrics_expected.json")
+    )
+    assert got["brief"] == expected["brief"]
+
+
+def test_parse_config_preset_and_overrides():
+    cfg, overrides = parse_config(
+        ["qvhighlights_slowclip", "--bsz", "16", "--use_pallas", "true",
+         "--strides", "1", "2"]
+    )
+    assert cfg.bsz == 16 and cfg.use_pallas and cfg.strides == (1, 2)
+    assert set(overrides) == {"bsz", "use_pallas", "strides"}
+    # preset values survive where not overridden
+    assert cfg.t2v_layers == 6 and cfg.dset_name == "hl"
+
+
+def test_parse_config_file():
+    cfg, _ = parse_config(["configs/HD.py", "--dset_name", "tvsum"])
+    assert cfg.strides == (1,) and cfg.loss_cls == "dynamic_bce"
+    assert cfg.dset_name == "tvsum"
