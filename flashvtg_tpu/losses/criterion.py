@@ -82,7 +82,6 @@ def rank_contrastive_loss(scores, labels, valid, row_weight):
         pos = (labels >= t).astype(scores.dtype) * valid
         any_pos_row = (pos.sum(axis=1) > 0).astype(scores.dtype)
         logits = scores / tau
-        logits = logits - jax.lax.stop_gradient(jnp.zeros(()))  # keep dtype
         logits = logits - logits.max(axis=1, keepdims=True)
         log_prob = logits - jnp.log(jnp.exp(logits).sum(axis=1, keepdims=True) + 1e-6)
         mean_log_prob_pos = (pos * log_prob * valid).sum(1) / (pos.sum(1) + 1e-6)
@@ -370,6 +369,22 @@ def compute_losses(outputs, targets, cfg: LossConfig) -> Dict[str, jnp.ndarray]:
     losses["loss_label"] = loss_label(outputs, targets)
     losses["loss_saliency"] = loss_saliency(outputs, targets, cfg)
     return losses
+
+
+def loss_keys(cfg: LossConfig) -> Tuple[str, ...]:
+    """The exact key set `compute_losses` produces for `cfg` — declared
+    up front so the train step can return a stacked loss vector without any
+    trace-time side channel (pinned by tests/test_criterion_parity.py)."""
+    keys = ["loss_label", "loss_saliency"]
+    if cfg.loss_reg == "l1":
+        keys.append("loss_reg")
+    if cfg.loss_cls in ("focal", "dynamic_bce"):
+        keys.append("loss_cls")
+    if cfg.loss_sal == "nce":
+        keys.append("loss_sal")
+    if cfg.loss_qfl:
+        keys.append("loss_qfl")
+    return tuple(sorted(keys))
 
 
 def weighted_total(losses: Dict[str, jnp.ndarray], cfg: LossConfig):

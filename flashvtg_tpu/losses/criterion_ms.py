@@ -50,6 +50,11 @@ class MSLossConfig:
     clip_length: float = 2.0
     dset_name: str = "tvsum"
     phrase_ortho_r: float = 0.5
+    # EOS InfoNCE (loss.py:431-460); off by default — it is outside the
+    # reference's default losses list (model.py:433) and its producer module
+    # was deleted from the reference source (only a stale .pyc remains)
+    use_eos: bool = False
+    lw_eos: float = 1.0
 
 
 def ms_targets(points, gt_windows, cfg: MSLossConfig):
@@ -143,6 +148,37 @@ def loss_qfl_ms(outputs, cls_tgt, reg_tgt, cfg: MSLossConfig):
     )
 
 
+def loss_eos_ms(eos_slot, eos_emb, context_agg, pos_clip, temperature=0.1):
+    """EOS InfoNCE (oracle: FlashVTG_ms/loss.py:431-460).
+
+    Two in-batch InfoNCE terms over l2-normalized vectors at temperature 0.1:
+    (1) eos_slot[i] must retrieve eos_emb[i] among the batch; (2) eos_slot[i]
+    must retrieve its own video's first positive-clip feature (from
+    context_agg) among the batch.
+
+    Args:
+      eos_slot: (B, 1, C) video-side EOS summary slot.
+      eos_emb: (B, 1, C) EOS sentence embedding.
+      context_agg: (B, T, C) aggregated phrase-context video features.
+      pos_clip: (B,) index of the first positive clip per row.
+    """
+    def l2n(x):
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True).clip(1e-12)
+
+    slot = l2n(eos_slot[:, 0])  # (B, C)
+    emb = l2n(eos_emb[:, 0])
+    b = slot.shape[0]
+    rows = jnp.arange(b)
+
+    logits = slot @ emb.T / temperature
+    loss_eos_eos = -jax.nn.log_softmax(logits, axis=1)[rows, rows].mean()
+
+    pos_feat = l2n(context_agg[rows, pos_clip])  # (B, C)
+    logits2 = slot @ pos_feat.T / temperature
+    loss_eos_pos = -jax.nn.log_softmax(logits2, axis=1)[rows, rows].mean()
+    return loss_eos_eos + loss_eos_pos
+
+
 def loss_saliency_ms(outputs, targets, cfg: MSLossConfig):
     """Real-neg margin/rank/neg-pair + t2v channel with BCE (loss.py:471-530)."""
     labels = targets["saliency_all_labels"]
@@ -215,7 +251,26 @@ def compute_losses_ms(outputs, targets, cfg: MSLossConfig) -> Dict[str, jnp.ndar
         ),
         "loss_qfl": loss_qfl_ms(outputs, cls_tgt, reg_tgt, cfg),
     }
+    if cfg.use_eos:
+        losses["loss_eos"] = loss_eos_ms(
+            outputs["eos_slot"],
+            outputs["eos_emb"],
+            outputs["context_agg"],
+            targets["saliency_pos_labels"][:, 0],
+        )
     return losses
+
+
+def loss_keys_ms(cfg: MSLossConfig) -> Tuple[str, ...]:
+    """The exact key set `compute_losses_ms` produces for `cfg` (see
+    criterion.loss_keys)."""
+    keys = [
+        "loss_saliency", "loss_label", "loss_phrase_slot", "loss_sal",
+        "loss_reg", "loss_cls", "loss_qfl",
+    ]
+    if cfg.use_eos:
+        keys.append("loss_eos")
+    return tuple(sorted(keys))
 
 
 def weighted_total_ms(losses: Dict[str, jnp.ndarray], cfg: MSLossConfig):
@@ -227,5 +282,6 @@ def weighted_total_ms(losses: Dict[str, jnp.ndarray], cfg: MSLossConfig):
         "loss_sal": cfg.lw_sal,
         "loss_phrase_slot": cfg.lw_phrase,
         "loss_qfl": 0.0,  # in the weight_dict with weight 0 (model.py:431)
+        "loss_eos": cfg.lw_eos,
     }
     return sum(losses[k] * w for k, w in weights.items() if k in losses)
