@@ -67,7 +67,9 @@ class ModelConfig:
     clip_length: float = 2.0
     use_neg: bool = True
     merge_cls_sal: bool = True
-    use_pallas: bool = False  # fused ACA kernel on the eval path
+    # query-chunked + remat'd self-attention once Lv exceeds this (0 = off);
+    # keeps Lv=2048 presets from materializing (B, H, L, L) logits
+    attn_chunk: int = 512
 
 
 class FlashVTGModel(nn.Module):
@@ -92,6 +94,7 @@ class FlashVTGModel(nn.Module):
         real_neg_mask: Optional[jnp.ndarray] = None,
         point_valid: Optional[jnp.ndarray] = None,
         train: bool = False,
+        force_neg: bool = False,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         det = not train
@@ -151,11 +154,11 @@ class FlashVTGModel(nn.Module):
         # --- shared transformer trunk (called again for the neg pass) ---
         t2v = T2VEncoder(
             cfg.t2v_layers, cfg.nheads, nd, cfg.dim_feedforward, cfg.dropout,
-            use_pallas=cfg.use_pallas, name="t2v_encoder",
+            name="t2v_encoder",
         )
         encoder = Encoder(
             cfg.enc_layers, cfg.nheads, cfg.dim_feedforward, cfg.dropout,
-            name="encoder",
+            attn_chunk=cfg.attn_chunk, name="encoder",
         )
         sal_proj1 = nn.Dense(d, name="saliency_proj1")
         sal_proj2 = nn.Dense(d, name="saliency_proj2")
@@ -235,6 +238,10 @@ class FlashVTGModel(nn.Module):
         out: Dict[str, Any] = {
             "saliency_scores": saliency,
             "t2vattnvalues": t2vattn,
+            # layer-averaged head-mean ACA map (B, Lv, nd+Lq) — consumed by
+            # the visualization tools; dead-code-eliminated by XLA in the
+            # train/eval steps, which never fetch it
+            "attn_weights": attn_weights,
             "video_emb": video_emb,
             "query_emb": query_emb,
             "video_msk": src_vid_mask,
@@ -245,8 +252,11 @@ class FlashVTGModel(nn.Module):
             "dummy_tokens": dummy_refreshed,
         }
 
-        # --- negative-pair second pass (model.py:268-297) ---
-        if train and cfg.use_neg:
+        # --- negative-pair second pass (model.py:268-297). The reference
+        # runs this at eval too (the `if self.use_neg:` at model.py:268 is
+        # not train-gated) — `force_neg` lets the eval-loss path reproduce
+        # that while the fast decode path skips the 2nd trunk pass. ---
+        if (train or force_neg) and cfg.use_neg:
             txt_d_neg = jnp.roll(txt_d, -1, axis=0)
             txt_d_valid_neg = jnp.roll(txt_d_valid, -1, axis=0)
             _, attn_neg, sal_neg = trunk(txt_d_neg, txt_d_valid_neg)

@@ -57,6 +57,13 @@ class MSModelConfig(ModelConfig):
     rank: int = 32
     t_sa_layers: int = 2
     sample_radius: float = 1.5
+    # export eos_slot/eos_emb for the EOS InfoNCE loss (loss.py:431-460).
+    # The reference's producer module (`PhraseWeight_eos`) was deleted from
+    # its source (only FlashVTG_ms/__pycache__/LGI.cpython-38.pyc remembers
+    # it); this re-build supplies the natural producer: a learned query
+    # attention-pooling the phrase-context features into a video-side EOS
+    # summary, aligned against the (pre-type-embedding) EOS sentence token.
+    use_eos: bool = False
 
 
 class FlashVTGMSModel(nn.Module):
@@ -72,6 +79,7 @@ class FlashVTGMSModel(nn.Module):
         real_neg_mask: Optional[jnp.ndarray] = None,
         point_valid: Optional[jnp.ndarray] = None,
         train: bool = False,
+        force_neg: bool = False,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         det = not train
@@ -132,11 +140,11 @@ class FlashVTGMSModel(nn.Module):
         # --- shared transformer trunk (:199) ---
         t2v = T2VEncoder(
             cfg.t2v_layers, cfg.nheads, nd, cfg.dim_feedforward, cfg.dropout,
-            use_pallas=cfg.use_pallas, name="t2v_encoder",
+            name="t2v_encoder",
         )
         encoder = Encoder(
             cfg.enc_layers, cfg.nheads, cfg.dim_feedforward, cfg.dropout,
-            name="encoder",
+            attn_chunk=cfg.attn_chunk, name="encoder",
         )
         t_sa = TSA(cfg.nheads, cfg.dropout, cfg.t_sa_layers, name="t_sa")
         sal_proj = SaliencyProj(name="saliency_proj")
@@ -204,6 +212,8 @@ class FlashVTGMSModel(nn.Module):
         out: Dict[str, Any] = {
             "saliency_scores": saliency,
             "t2vattnvalues": t2vattn,
+            # full ACA map for visualization (XLA-DCE'd on train/eval paths)
+            "attn_weights": attn_weights,
             "sim_score": sim_score,
             "video_msk": src_vid_mask,
             "pymid_msk": pymid_msk,
@@ -218,7 +228,21 @@ class FlashVTGMSModel(nn.Module):
             "dummy_tokens": dummy_refreshed,
         }
 
-        if train and cfg.use_neg:
+        if cfg.use_eos:
+            # video-side EOS summary: learned query attention-pooled over the
+            # masked phrase-context features (producer for loss_eos)
+            eos_q = self.param(
+                "eos_query", nn.initializers.normal(1.0), (d,)
+            )
+            att = jnp.einsum("d,btd->bt", eos_q, context_agg) / jnp.sqrt(
+                jnp.asarray(d, context_agg.dtype)
+            )
+            att = jnp.where(src_vid_mask > 0, att, -1e30)
+            w = jax.nn.softmax(att, axis=-1)
+            out["eos_slot"] = jnp.einsum("bt,btd->bd", w, context_agg)[:, None]
+            out["eos_emb"] = glob  # pre-type-embedding EOS sentence token
+
+        if (train or force_neg) and cfg.use_neg:
             # rolled phrase slots drive a negative context; rolled dummy+glob
             # drive a negative trunk pass (:294-332); static shapes + mask
             phrase_neg = jnp.roll(phrase_emb, -1, axis=0)

@@ -6,9 +6,10 @@ crossattention.py for TPU:
   * Adaptive Cross-Attention (ACA): projection-less text→video attention in
     which the softmax runs over *all* text keys including the learned dummy
     tokens, but the value matmul drops the first `num_dummies` columns
-    (crossattention.py:381-391). Computed here as one fused einsum chain
-    (and optionally as a Pallas kernel — see flashvtg_tpu/ops/aca_pallas.py);
-    the per-layer head-averaged attention maps are accumulated and averaged
+    (crossattention.py:381-391). Computed as one einsum chain that XLA fuses
+    end-to-end — a hand-written Pallas kernel was measured 1.3-4x SLOWER
+    than this path on the v5e and removed (see docs/KERNELS.md); the
+    per-layer head-averaged attention maps are accumulated and averaged
     across layers (transformer.py:197-206).
   * Standard post-norm encoder layers with DropPath stochastic depth on both
     residual branches and PReLU feed-forwards (transformer.py:387-435).
@@ -51,7 +52,6 @@ class AdaptiveCrossAttention(nn.Module):
     num_heads: int
     num_dummies: int
     dropout: float = 0.1
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, key_valid, deterministic: bool = True,
@@ -65,21 +65,15 @@ class AdaptiveCrossAttention(nn.Module):
         vh = _split_heads(v, self.num_heads)
 
         nd = self.num_dummies if drop_dummies else 0
-        if self.use_pallas and deterministic:
-            # fused TPU kernel (no attention-dropout path — eval only)
-            from flashvtg_tpu.ops.aca_pallas import aca_attention
-
-            out, weights = aca_attention(qh, kh, vh, key_valid, nd)
-        else:
-            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
-            logits = jnp.where(key_valid[:, None, None, :] > 0, logits, NEG_INF)
-            weights = jax.nn.softmax(logits, axis=-1)  # softmax incl. dummies
-            weights_d = nn.Dropout(self.dropout)(
-                weights, deterministic=deterministic
-            )
-            out = jnp.einsum(
-                "bhqk,bhkd->bhqd", weights_d[..., nd:], vh[:, :, nd:]
-            )
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+        logits = jnp.where(key_valid[:, None, None, :] > 0, logits, NEG_INF)
+        weights = jax.nn.softmax(logits, axis=-1)  # softmax incl. dummies
+        weights_d = nn.Dropout(self.dropout)(
+            weights, deterministic=deterministic
+        )
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", weights_d[..., nd:], vh[:, :, nd:]
+        )
         out = _merge_heads(out)
         out = nn.Dense(d, name="out_proj")(out)
 
@@ -114,14 +108,12 @@ class T2VEncoderLayer(nn.Module):
     num_dummies: int
     dim_feedforward: int
     dropout: float = 0.1
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, vid, txt, pos_vid, pos_txt, txt_valid,
                  deterministic: bool = True, drop_dummies: bool = True):
         attn_out, attn_weights = AdaptiveCrossAttention(
-            self.num_heads, self.num_dummies, self.dropout,
-            use_pallas=self.use_pallas, name="attn"
+            self.num_heads, self.num_dummies, self.dropout, name="attn"
         )(
             vid + pos_vid,
             txt + pos_txt,
@@ -153,7 +145,6 @@ class T2VEncoder(nn.Module):
     num_dummies: int
     dim_feedforward: int
     dropout: float = 0.1
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, vid, txt, pos_vid, pos_txt, txt_valid,
@@ -165,7 +156,6 @@ class T2VEncoder(nn.Module):
                 self.num_dummies,
                 self.dim_feedforward,
                 self.dropout,
-                use_pallas=self.use_pallas,
                 name=f"layer{i}",
             )(vid, txt, pos_vid, pos_txt, txt_valid,
               deterministic=deterministic, drop_dummies=drop_dummies)
@@ -177,10 +167,18 @@ class SelfAttention(nn.Module):
     """Standard MHA with packed-equivalent q/k/v + out projections.
 
     q = k = x + pos, v = x (oracle: transformer.py:408-415 with torch MHA).
+
+    When `attn_chunk > 0` and the sequence exceeds it, attention switches to
+    the query-chunked + rematerialized path (ops/chunked_attn.py) so long
+    videos (tacos / charades_vgg, Lv=2048) never materialize (B, H, L, L)
+    logits; numerics are identical up to float associativity (attention
+    dropout then draws per-chunk masks — same distribution, different
+    stream).
     """
 
     num_heads: int
     dropout: float = 0.1
+    attn_chunk: int = 0
 
     @nn.compact
     def __call__(self, x, pos, valid, deterministic: bool = True):
@@ -193,11 +191,24 @@ class SelfAttention(nn.Module):
         qh = _split_heads(q * head_dim ** -0.5, self.num_heads)
         kh = _split_heads(k, self.num_heads)
         vh = _split_heads(v, self.num_heads)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
-        logits = jnp.where(valid[:, None, None, :] > 0, logits, NEG_INF)
-        weights = jax.nn.softmax(logits, axis=-1)
-        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
+        if self.attn_chunk and x.shape[1] > self.attn_chunk:
+            from flashvtg_tpu.ops.chunked_attn import chunked_attention
+
+            rng = None
+            if not deterministic and self.dropout > 0.0:
+                rng = self.make_rng("dropout")
+            out = chunked_attention(
+                qh, kh, vh, valid, self.attn_chunk, self.dropout,
+                deterministic, rng,
+            )
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+            logits = jnp.where(valid[:, None, None, :] > 0, logits, NEG_INF)
+            weights = jax.nn.softmax(logits, axis=-1)
+            weights = nn.Dropout(self.dropout)(
+                weights, deterministic=deterministic
+            )
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
         return nn.Dense(d, name="out_proj")(_merge_heads(out))
 
 
@@ -207,12 +218,13 @@ class EncoderLayer(nn.Module):
     num_heads: int
     dim_feedforward: int
     dropout: float = 0.1
+    attn_chunk: int = 0
 
     @nn.compact
     def __call__(self, x, pos, valid, deterministic: bool = True):
-        attn = SelfAttention(self.num_heads, self.dropout, name="attn")(
-            x, pos, valid, deterministic=deterministic
-        )
+        attn = SelfAttention(
+            self.num_heads, self.dropout, self.attn_chunk, name="attn"
+        )(x, pos, valid, deterministic=deterministic)
         x = x + DropPath(self.dropout, name="drop1")(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         ffn = FeedForward(
@@ -228,12 +240,13 @@ class Encoder(nn.Module):
     num_heads: int
     dim_feedforward: int
     dropout: float = 0.1
+    attn_chunk: int = 0
 
     @nn.compact
     def __call__(self, x, pos, valid, deterministic: bool = True):
         for i in range(self.num_layers):
             x = EncoderLayer(
                 self.num_heads, self.dim_feedforward, self.dropout,
-                name=f"layer{i}",
+                self.attn_chunk, name=f"layer{i}",
             )(x, pos, valid, deterministic=deterministic)
         return x
