@@ -49,6 +49,12 @@ class ExperimentConfig:
     bsz: int = 32
     eval_bsz: int = 32  # reference forces 1; our decode is batched
     v_buckets: Sequence[int] = (75, 128, 256, 512, 1024, 2048, 4096)
+    # eval-time variable-length bucketing: sort queries by duration and pad
+    # each batch to its own v_bucket instead of max_v_l. Pays a few extra
+    # compiles to skip most padding compute — wins on TACoS, whose video
+    # lengths vary ~40x (see docs/BUCKETS.md for the measured tradeoff).
+    # Training stays fixed-length: one compiled step, stable donation.
+    bucket_eval: bool = False
 
     # optimization (config.py:49-68)
     lr: float = 5e-4
@@ -62,6 +68,11 @@ class ExperimentConfig:
     start_epoch: Optional[int] = None
     resume: Optional[str] = None
     resume_all: bool = False
+    # partial (non-strict) parameter preload before training/inference —
+    # only matching subtrees are taken (reference inference.py:447-451)
+    resume_adapter: Optional[str] = None
+    # fast loop: 2 steps/epoch, 1 epoch (reference config.py:32-33)
+    debug: bool = False
 
     # model architecture (config.py:93-132)
     position_embedding: str = "sine"
@@ -120,6 +131,12 @@ class ExperimentConfig:
     rank: int = 32
     t_sa: int = 2
     lw_phrase: float = 1.0
+    # EOS InfoNCE (loss.py:431-460). Outside the reference's default losses
+    # list (model.py:433) AND its producer module (`PhraseWeight_eos`, seen
+    # only in stale FlashVTG_ms/__pycache__/LGI.cpython-38.pyc) was deleted
+    # from the reference source — enabling it there would KeyError. Our _ms
+    # model exports eos_slot/eos_emb when use_eos=True so the term is live.
+    use_eos: bool = False
     lw_eos: float = 1.0
 
     # runtime
@@ -128,7 +145,16 @@ class ExperimentConfig:
     # dtype for feature tensors on the host->device wire during training;
     # "bfloat16" halves transfer bytes (params/compute stay f32-promoted)
     transfer_dtype: str = "float32"
-    use_pallas: bool = False
+    # HBM-resident training feed (data/feed.py): collate once, keep the
+    # feature tensors on device, gather batches by index. "auto" enables it
+    # whenever the set fits the budget (and shapes are fixed + no
+    # txt_drop_ratio randomness); measured ~23x steps/s on the tunneled v5e
+    device_feed: str = "auto"  # auto | on | off
+    device_feed_budget_gb: float = 8.0
+    # chunked+remat'd encoder self-attention beyond this Lv (0 = never) —
+    # the long-video presets (max_v_l=2048) would otherwise materialize
+    # (B, H, L, L) attention logits in every encoder layer
+    attn_chunk: int = 512
     debug_nans: bool = False  # jax NaN tripwire (reference: detect_anomaly)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     use_tensorboard: bool = True
@@ -165,7 +191,7 @@ class ExperimentConfig:
             max_num_moment=self.max_num_moment,
             clip_length=self.clip_length,
             use_neg=self.use_neg,
-            use_pallas=self.use_pallas,
+            attn_chunk=self.attn_chunk,
         )
 
     def ms_model_config(self):
@@ -182,6 +208,7 @@ class ExperimentConfig:
             rank=self.rank,
             t_sa_layers=self.t_sa,
             sample_radius=self.sample_radius,
+            use_eos=self.use_eos,
         )
 
     def ms_loss_config(self):
@@ -201,6 +228,8 @@ class ExperimentConfig:
             num_bins=self.num_bins,
             clip_length=self.clip_length,
             dset_name=self.dset_name,
+            use_eos=self.use_eos,
+            lw_eos=self.lw_eos,
         )
 
     def build_model(self):

@@ -4,20 +4,29 @@ Oracle: FlashVTG/train.py (train / train_hl / train_epoch). TPU re-design:
   * one jitted train step containing forward (+ negative pass), all losses,
     global-norm gradient clipping and the AdamW update — no host round-trips
     inside an epoch beyond data feeding;
+  * params/opt_state buffers are donated to the step, and per-step loss
+    vectors accumulate into a donated on-device (steps, K) buffer so the
+    host fetches exactly ONE array per epoch;
   * optax AdamW + piecewise-constant StepLR (gamma 0.5 every lr_drop epochs;
     the reference's `lr_scheduler.step(losses)` on a StepLR is epoch-stepped
     decay — quirk preserved in effect, not in API);
   * orbax checkpoints of the full train state (_latest each epoch, _best on
     metric improvement) with resume support;
-  * data parallelism via jax.sharding: batch sharded over the mesh's "data"
-    axis, params replicated; XLA inserts the gradient all-reduce.
+  * data parallelism via jax.sharding, ON by default: `train()` builds a
+    (data, model) mesh over the local chips whose data size is the largest
+    device count dividing the batch size, shards every batch over "data",
+    replicates params, and lets XLA insert the gradient all-reduce over ICI.
+    Multi-host runs additionally split dataset rows per process (DCN level).
+    The reference is strictly single-GPU (config.py:234).
 """
 
 from __future__ import annotations
 
 import contextlib
 import dataclasses
+import functools
 import logging
+import math
 import os
 import time
 from typing import Any, Dict, Optional
@@ -27,9 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from flashvtg_tpu.data.collate import Collator
+from flashvtg_tpu.data.collate import Collator, device_arrays
 from flashvtg_tpu.data.dataset import DataConfig, VTGDataset
-from flashvtg_tpu.losses.criterion import compute_losses, weighted_total
+from flashvtg_tpu.losses.criterion import compute_losses, loss_keys, weighted_total
 from flashvtg_tpu.models.flashvtg import FlashVTGModel
 from flashvtg_tpu.train.config import ExperimentConfig
 from flashvtg_tpu.train.infer import run_hl_inference, run_mr_inference
@@ -52,7 +61,6 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
     boundaries = {}
     drop = cfg.lr_drop * steps_per_epoch
     if drop > 0:
-        scale = 1.0
         for k in range(1, 50):
             boundaries[k * drop] = cfg.lr_gamma
     schedule = optax.piecewise_constant_schedule(cfg.lr, boundaries)
@@ -65,13 +73,35 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
 
 
 def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
+    """Build the jitted train step.
+
+    Returns a host-facing callable
+        run_step(params, opt_state, batch, rng) -> (params, opt_state, dict)
+    with attributes for the production loop:
+      * .device_step — same update, returns the stacked loss vector on
+        device (no donation: callers may reuse their input buffers);
+      * .epoch_step(params, opt_state, loss_buf, ix, batch, rng) — donates
+        params/opt_state/loss_buf and writes the loss vector into row `ix`
+        of the on-device buffer, so an epoch needs ONE host fetch;
+      * .epoch_step_feed(params, opt_state, loss_buf, ix, small_batch, idx,
+        feed, rng) — same, but the feature/mask tensors are gathered
+        on-device from the HBM-resident `feed` (data/feed.py) via int32 row
+        indices `idx`; the host ships only labels (KBs instead of ~50 MB);
+      * .loss_keys — the static key order of the stacked vector (declared by
+        losses.criterion.loss_keys — no trace-time side channel).
+    """
     from flashvtg_tpu.losses.criterion_ms import (
         MSLossConfig,
         compute_losses_ms,
+        loss_keys_ms,
         weighted_total_ms,
     )
 
     is_ms = isinstance(loss_cfg, MSLossConfig)
+    keys = sorted(
+        (loss_keys_ms(loss_cfg) if is_ms else loss_keys(loss_cfg))
+        + ("weighted_loss_overall",)
+    )
 
     def loss_fn(params, batch, rng):
         out = model.apply(
@@ -93,33 +123,47 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
         losses["weighted_loss_overall"] = total
         return total, losses
 
-    loss_keys: list = []
-
-    @jax.jit
-    def step(params, opt_state, batch, rng):
+    def _update(params, opt_state, batch, rng):
         with jax.default_matmul_precision(precision):
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, rng
             )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        # stack scalars so the host fetches ONE array per step instead of one
-        # RPC per loss (dispatch latency dominates on tunneled TPU targets)
-        keys = sorted(losses)
-        loss_keys.clear()
-        loss_keys.extend(keys)
         return params, opt_state, jnp.stack([losses[k] for k in keys])
+
+    step = jax.jit(_update)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def epoch_step(params, opt_state, loss_buf, ix, batch, rng):
+        params, opt_state, vec = _update(params, opt_state, batch, rng)
+        loss_buf = jax.lax.dynamic_update_slice(
+            loss_buf, vec[None].astype(loss_buf.dtype), (ix, 0)
+        )
+        return params, opt_state, loss_buf
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def epoch_step_feed(params, opt_state, loss_buf, ix, small_batch, idx,
+                        feed, rng):
+        batch = dict(small_batch)
+        for k, store in feed.items():  # on-device gather from HBM residents
+            batch[k] = store[idx]
+        params, opt_state, vec = _update(params, opt_state, batch, rng)
+        loss_buf = jax.lax.dynamic_update_slice(
+            loss_buf, vec[None].astype(loss_buf.dtype), (ix, 0)
+        )
+        return params, opt_state, loss_buf
 
     def run_step(params, opt_state, batch, rng):
         params, opt_state, vec = step(params, opt_state, batch, rng)
         host = np.asarray(vec)
-        return params, opt_state, dict(zip(loss_keys, host.tolist()))
+        return params, opt_state, dict(zip(keys, host.tolist()))
 
-    # async variant: returns the on-device loss vector without fetching, so
-    # the next batch's host work and H2D transfer overlap this step's
-    # compute; fetch once per epoch via `keys()`
     run_step.device_step = step
-    run_step.keys = lambda: list(loss_keys)
+    run_step.epoch_step = epoch_step
+    run_step.epoch_step_feed = epoch_step_feed
+    run_step.loss_keys = list(keys)
+    run_step.keys = lambda: list(keys)
     return run_step
 
 
@@ -157,12 +201,18 @@ def stop_metric(cfg: ExperimentConfig, brief: Dict[str, float]) -> float:
     return (brief["MR-full-R1@0.7"] + brief["MR-full-R1@0.5"]) / 2
 
 
-def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest"):
+def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
+             loss_cfg=None):
+    """Eval pass; returns (metrics, metrics_nms, eval_losses). `loss_cfg`
+    additionally evaluates the criterion on the eval split (reference logs
+    per-epoch eval losses, inference.py:300-306 + train.py:183-184)."""
     if cfg.dset_name in ("tvsum", "youtube_uni"):
         metrics = run_hl_inference(cfg, model, params, eval_dataset)
         save_jsonl([metrics], os.path.join(results_dir, f"{tag}_metric.jsonl"))
-        return metrics, None
-    submission, submission_nms = run_mr_inference(cfg, model, params, eval_dataset)
+        return metrics, None, {}
+    submission, submission_nms, eval_losses = run_mr_inference(
+        cfg, model, params, eval_dataset, loss_cfg=loss_cfg
+    )
     sub_path = os.path.join(
         results_dir, f"{tag}_{cfg.dset_name}_{cfg.eval_split_name}_preds.jsonl"
     )
@@ -186,7 +236,7 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest"):
                 sub_path.replace(".jsonl", f"_nms_thd_{cfg.nms_thd}_metrics.json"),
                 pretty=True,
             )
-    return metrics, metrics_nms
+    return metrics, metrics_nms, eval_losses
 
 
 def save_checkpoint(path: str, params, opt_state, epoch: int, cfg):
@@ -231,8 +281,67 @@ def load_checkpoint(path: str, like=None, opt_state_like=None):
         raise
 
 
-def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
-    """Full training run; returns (best_params, best_score, results_dir)."""
+def merge_partial_params(params, loaded):
+    """Non-strict parameter preload: copy leaves whose path AND shape match
+    (oracle: `--resume_adapter` + load_state_dict(strict=False),
+    reference inference.py:447-451, config.py:63-68)."""
+    copied = skipped = 0
+
+    def merge(dst, src):
+        nonlocal copied, skipped
+        if isinstance(dst, dict):
+            out = {}
+            for k, v in dst.items():
+                if isinstance(src, dict) and k in src:
+                    out[k] = merge(v, src[k])
+                else:
+                    out[k] = v
+            return out
+        if (
+            hasattr(dst, "shape")
+            and hasattr(src, "shape")
+            and tuple(dst.shape) == tuple(src.shape)
+        ):
+            copied += 1
+            return jnp.asarray(src, dtype=dst.dtype)
+        skipped += 1
+        return dst
+
+    merged = merge(dict(params), loaded)
+    logger.info("resume_adapter: copied %d leaves, skipped %d", copied, skipped)
+    return merged
+
+
+def load_adapter(cfg: ExperimentConfig, params):
+    """Apply --resume_adapter: partial, non-strict preload into `params`."""
+    path = cfg.resume_adapter
+    if path.endswith(".ckpt"):  # torch reference checkpoint
+        from flashvtg_tpu.utils.torch_convert import load_torch_checkpoint
+
+        mc = cfg.ms_model_config() if cfg.variant == "ms" else cfg.model_config()
+        loaded = load_torch_checkpoint(path, mc)
+    else:
+        loaded = load_checkpoint(path)["params"]
+    return merge_partial_params(params, loaded)
+
+
+def build_mesh_for(bsz: int, devices=None):
+    """Data-parallel mesh over the largest local-device count dividing bsz
+    (None when that is a single device)."""
+    from flashvtg_tpu.parallel.mesh import make_mesh
+
+    devices = list(devices if devices is not None else jax.devices())
+    data = math.gcd(bsz, len(devices))
+    if data <= 1:
+        return None
+    return make_mesh(devices[:data], data=data, model=1)
+
+
+def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
+    """Full training run; returns (best_params, best_score, results_dir).
+
+    `mesh` overrides the automatic data-parallel mesh (pass a 1-device mesh
+    or run with one visible device for strictly-local training)."""
     results_dir = results_dir or os.path.join(
         cfg.results_root,
         f"{cfg.dset_name}-{cfg.ctx_mode}-{cfg.exp_id}-{time.strftime('%Y-%m-%d-%H-%M-%S')}",
@@ -261,6 +370,32 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
         fixed_v_len=cfg.max_v_l if cfg.max_v_l > 0 else None,
     )
 
+    # --- data-parallel mesh over local chips (jax.sharding SPMD) ---
+    if mesh is None:
+        mesh = build_mesh_for(cfg.bsz)
+    if mesh is not None:
+        from flashvtg_tpu.parallel.mesh import data_axis_sharding, replicated
+
+        data_sh, rep_sh = data_axis_sharding(mesh), replicated(mesh)
+        logger.info(
+            "data-parallel mesh: %d devices on 'data'", mesh.shape["data"]
+        )
+    else:
+        data_sh = rep_sh = None
+
+    def put_batch(host_batch):
+        if data_sh is not None:
+            return {k: jax.device_put(v, data_sh) for k, v in host_batch.items()}
+        return {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    def put_replicated(tree):
+        if rep_sh is not None:
+            return jax.tree.map(
+                lambda x: jax.device_put(x, rep_sh) if hasattr(x, "shape") else x,
+                tree,
+            )
+        return tree
+
     rng = jax.random.PRNGKey(cfg.seed)
     init_batch = collator([train_dataset[i] for i in range(min(2, len(train_dataset)))])
     # jitted init: one compiled program instead of hundreds of eager ops
@@ -273,7 +408,12 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
         jnp.asarray(init_batch["src_vid_mask"][:1]),
         train=False,
     )
+    if cfg.resume_adapter:
+        params = load_adapter(cfg, params)
     steps_per_epoch = max(1, len(train_dataset) // cfg.bsz)
+    n_epoch = cfg.n_epoch
+    if cfg.debug:  # fast loop (reference config.py:32-33)
+        steps_per_epoch, n_epoch = min(2, steps_per_epoch), min(1, n_epoch)
     tx, _ = make_optimizer(cfg, steps_per_epoch)
     opt_state = tx.init(params)
     start_epoch_override = None
@@ -302,7 +442,10 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
             if "opt_state" in restored:
                 opt_state = restored["opt_state"]
             start_epoch_override = int(restored.get("epoch", -1)) + 1
+    params = put_replicated(params)
+    opt_state = put_replicated(opt_state)
     step_fn = make_train_step(model, loss_cfg, tx, cfg.train_precision)
+    keys = step_fn.loss_keys
 
     from flashvtg_tpu.utils.observability import (
         ScalarWriter,
@@ -318,9 +461,45 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
         use_tensorboard=cfg.use_tensorboard,
     )
 
-    order = np.arange(len(train_dataset))
+    # --- HBM-resident feature feed (data/feed.py): one-time transfer of the
+    # collated feature tensors; per-step host->device traffic becomes
+    # indices + labels. Gated on fixed shapes, no text-drop randomness, and
+    # the HBM budget. ---
+    from flashvtg_tpu.data.feed import (
+        FEED_KEYS,
+        build_device_feed,
+        estimate_feed_bytes,
+    )
+
+    feed = None
+    if cfg.device_feed != "off" and cfg.max_v_l > 0 and cfg.txt_drop_ratio == 0:
+        dtype_bytes = 2 if cfg.transfer_dtype == "bfloat16" else 4
+        est = estimate_feed_bytes(
+            len(train_dataset), cfg.max_v_l, cfg.total_v_feat_dim,
+            cfg.max_q_l, cfg.t_feat_dim, dtype_bytes,
+        )
+        if cfg.device_feed == "on" or est <= cfg.device_feed_budget_gb * 2**30:
+            feed = build_device_feed(
+                train_dataset, collator, sharding=rep_sh,
+                dtype=cfg.transfer_dtype if cfg.transfer_dtype != "float32"
+                else None,
+            )
+        else:
+            logger.info(
+                "device feed disabled: %.1f GB exceeds budget %.1f GB",
+                est / 2**30, cfg.device_feed_budget_gb,
+            )
+
+    # multi-host: each process feeds its own strided slice of the data (DCN
+    # level); the mesh's data axis splits each local batch over local chips
+    from flashvtg_tpu.parallel.mesh import shard_rows_for_host
+
+    all_rows = np.arange(len(train_dataset))
     shuffler = np.random.default_rng(cfg.seed)
-    best_score, best_params, es_cnt = 0.0, params, 0
+    # NOTE: params/opt_state buffers are donated to epoch_step, so stale
+    # references (e.g. "best_params = params") would dangle; the best state
+    # lives in the model_best checkpoint and is reloaded after the loop.
+    best_score, have_best, es_cnt = 0.0, False, 0
     if cfg.start_epoch is not None:
         start_epoch = cfg.start_epoch
     elif start_epoch_override is not None:
@@ -328,57 +507,73 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
     else:
         start_epoch = 0
     global_step = 0
+    tdt = (
+        np.dtype("bfloat16")
+        if getattr(cfg, "transfer_dtype", "float32") == "bfloat16"
+        else None
+    )
 
-    for epoch in range(start_epoch, cfg.n_epoch):
-        shuffler.shuffle(order)
+    for epoch in range(start_epoch, n_epoch):
+        shuffler.shuffle(all_rows)
+        order = shard_rows_for_host(all_rows)
         meters: Dict[str, AverageMeter] = {}
         epoch_t0 = time.time()
         trace_ctx = (
             profile_trace(cfg.profile_dir) if epoch == start_epoch
             else contextlib.nullcontext()
         )
-        epoch_vecs = []
+        # on-device loss accumulator: one (steps, K) fetch per epoch
+        loss_buf = np.zeros((steps_per_epoch, len(keys)), np.float32)
+        loss_buf = (
+            jax.device_put(loss_buf, rep_sh) if rep_sh is not None
+            else jnp.asarray(loss_buf)
+        )
+        steps_done = 0
         with trace_ctx:
             for i in range(steps_per_epoch):
                 idx = order[i * cfg.bsz : (i + 1) * cfg.bsz]
                 if len(idx) < cfg.bsz:
                     continue
                 batch = collator([train_dataset[j] for j in idx])
-                tdt = (
-                    jnp.bfloat16
-                    if getattr(cfg, "transfer_dtype", "float32") == "bfloat16"
-                    else None
-                )
-                device_batch = {
-                    k: jnp.asarray(
-                        v,
-                        dtype=tdt if tdt and k in ("src_vid", "src_txt") else None,
-                    )
-                    for k, v in batch.items()
-                    if k not in ("vid", "qid", "meta", "valid_v_lens")
-                }
+                host_batch = device_arrays(batch)
                 rng, sub = jax.random.split(rng)
-                # async step: losses stay on device so host-side collation and
-                # the H2D transfer of step i+1 overlap step i's compute
-                params, opt_state, vec = step_fn.device_step(
-                    params, opt_state, device_batch, sub
-                )
-                epoch_vecs.append(vec)
+                if feed is not None:
+                    # HBM-resident features: ship labels + row indices only
+                    small = {
+                        k: v for k, v in host_batch.items()
+                        if k not in FEED_KEYS
+                    }
+                    params, opt_state, loss_buf = step_fn.epoch_step_feed(
+                        params, opt_state, loss_buf,
+                        jnp.asarray(i, jnp.int32), put_batch(small),
+                        put_batch({"idx": np.asarray(idx, np.int32)})["idx"],
+                        feed, sub,
+                    )
+                else:
+                    if tdt is not None:
+                        for k in ("src_vid", "src_txt"):
+                            host_batch[k] = host_batch[k].astype(tdt)
+                    # donated step: losses accumulate on device; host-side
+                    # collation and the next H2D transfer overlap compute
+                    params, opt_state, loss_buf = step_fn.epoch_step(
+                        params, opt_state, loss_buf,
+                        jnp.asarray(i, jnp.int32), put_batch(host_batch), sub,
+                    )
                 global_step += 1
-        # one host fetch per epoch
-        keys = step_fn.keys()
-        for s, vec in enumerate(epoch_vecs):
-            host_losses = dict(zip(keys, np.asarray(vec).tolist()))
+                steps_done += 1
+        # the single host fetch for the whole epoch
+        host_vecs = np.asarray(loss_buf)[:steps_done]
+        for s, vec in enumerate(host_vecs):
+            host_losses = dict(zip(keys, vec.tolist()))
             for k, v in host_losses.items():
                 meters.setdefault(k, AverageMeter()).update(v)
             writer.write(
-                global_step - len(epoch_vecs) + s, host_losses, prefix="train/"
+                global_step - steps_done + s, host_losses, prefix="train/"
             )
         if cfg.debug_nans and meters and not all(
             np.isfinite(m.avg) for m in meters.values()
         ):
             check_finite_tree(params, "params")
-        losses = host_losses if epoch_vecs else {}
         dt = time.time() - epoch_t0
         writer.write(
             global_step,
@@ -394,12 +589,22 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
         )
 
         if eval_dataset is not None and (epoch + 1) % cfg.eval_epoch == 0:
-            metrics, _ = evaluate(cfg, model, params, eval_dataset, results_dir)
+            metrics, _, eval_losses = evaluate(
+                cfg, model, params, eval_dataset, results_dir,
+                loss_cfg=loss_cfg,
+            )
+            if eval_losses:
+                writer.write(global_step, eval_losses, prefix="eval/")
+                logger.info(
+                    "[epoch %d] eval losses %s",
+                    epoch + 1,
+                    " ".join(f"{k} {v:.4f}" for k, v in eval_losses.items()),
+                )
             if metrics is not None:
                 score = stop_metric(cfg, metrics["brief"])
                 logger.info("[epoch %d] eval %s", epoch + 1, dict(metrics["brief"]))
                 if score > best_score:
-                    best_score, best_params, es_cnt = score, params, 0
+                    best_score, have_best, es_cnt = score, True, 0
                     save_checkpoint(
                         os.path.join(results_dir, "model_best"),
                         params, opt_state, epoch, cfg,
@@ -413,4 +618,10 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None):
             os.path.join(results_dir, "model_latest"), params, opt_state, epoch, cfg
         )
     writer.close()
+    best_params = params
+    if have_best:
+        best_params = load_checkpoint(
+            os.path.join(results_dir, "model_best"),
+            like=params, opt_state_like=opt_state,
+        )["params"]
     return best_params, best_score, results_dir
