@@ -107,7 +107,12 @@ def main(argv=None):
 
         from flashvtg_tpu.data.dataset import VTGDataset
         from flashvtg_tpu.models.flashvtg import FlashVTGModel
-        from flashvtg_tpu.train.loop import _dataset_cfg, evaluate, load_checkpoint
+        from flashvtg_tpu.train.loop import (
+            _dataset_cfg,
+            evaluate,
+            load_adapter,
+            load_checkpoint,
+        )
 
         if cfg.resume is None:
             raise SystemExit("--resume <checkpoint> is required for inference")
@@ -122,11 +127,13 @@ def main(argv=None):
             params = load_torch_checkpoint(cfg.resume, mc)
         else:
             params = load_checkpoint(cfg.resume)["params"]
+        if cfg.resume_adapter:  # partial preload (inference.py:447-451)
+            params = load_adapter(cfg, params)
         dataset = VTGDataset(
             _dataset_cfg(cfg, cfg.eval_path, load_labels=cfg.eval_split_name == "val")
         )
         results_dir = os.path.dirname(cfg.resume) or "."
-        metrics, metrics_nms = evaluate(
+        metrics, metrics_nms, _ = evaluate(
             cfg, model, params, dataset, results_dir, tag="infer"
         )
         if metrics is not None:

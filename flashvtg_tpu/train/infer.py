@@ -3,20 +3,26 @@
 Oracle: FlashVTG/inference.py (eval_epoch / compute_mr_results /
 compute_hl_results). Key TPU re-design: the reference is locked to
 batch-size-1 eval (model.py:248 assert) with per-query Python decode; here
-forward + decode + top-k run as one jitted XLA program over a whole batch of
-queries, and NMS runs batched on device. Host code only formats jsonl rows.
+forward + decode + top-k (and, on the val split, the full criterion — the
+reference logs eval losses too, inference.py:300-306) run as one jitted XLA
+program over a whole batch of queries, and NMS runs batched on device. Host
+code only formats jsonl rows. Batches are software-pipelined: up to
+`PIPELINE_DEPTH` batches are dispatched before the oldest result is fetched,
+so host-side collation and H2D transfers overlap device compute (per-dispatch
+latency dominates on tunneled TPU targets).
 """
 
 from __future__ import annotations
 
 import functools
+from collections import deque
 from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flashvtg_tpu.data.collate import Collator
+from flashvtg_tpu.data.collate import Collator, device_arrays
 from flashvtg_tpu.data.dataset import VTGDataset
 from flashvtg_tpu.eval.hl import compute_hl_map
 from flashvtg_tpu.eval.metrics import eval_submission
@@ -25,31 +31,70 @@ from flashvtg_tpu.models.flashvtg import FlashVTGModel, decode_boundaries
 from flashvtg_tpu.models.points import pyramid_masks_strict
 from flashvtg_tpu.ops.nms import suppress_overlaps
 
+# batches in flight before the oldest is fetched; bounds device memory to
+# O(depth) batches of inputs+outputs while hiding fetch latency
+PIPELINE_DEPTH = 4
+
 
 @functools.lru_cache(maxsize=16)
 def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32",
-                   saliency_only: bool = False):
-    """One jitted program: forward + decode + rank for a query batch.
+                   saliency_only: bool = False, loss_cfg=None,
+                   use_feed: bool = False):
+    """One jitted program: forward + decode + rank (+ criterion) for a batch.
 
     `precision` sets the MXU matmul passes: "float32" (6-pass bf16, exact
     parity with the f32 reference), "tensorfloat32" (3-pass), or "bfloat16"
     (fastest; the default-precision TPU mode, ~1e-2 relative error).
     `saliency_only` skips the boundary decode (HL datasets consume only the
-    saliency channel).
+    saliency channel). `loss_cfg` (a hashable LossConfig / MSLossConfig)
+    additionally evaluates the criterion inside the same program — the batch
+    must then carry labels; the negative trunk pass is forced to match the
+    reference, whose `use_neg` branch is not train-gated (model.py:268).
+
+    step(params, batch, point_valid) ->
+        (spans, scores, saliency, losses_dict)
+    With `use_feed` the signature becomes
+    step(params, small_batch, idx, feed, point_valid): the feature/mask
+    tensors are gathered on-device from the HBM-resident feed by row index
+    (data/feed.py) instead of streaming ~tens of MB per batch over the
+    host->device link.
     """
 
     use_dfl = bool(getattr(model.cfg, "use_dfl", False))
 
-    @jax.jit
-    def step(params, src_txt, src_txt_mask, src_vid, src_vid_mask, point_valid):
+    def _losses(out, batch):
+        from flashvtg_tpu.losses.criterion import compute_losses, weighted_total
+        from flashvtg_tpu.losses.criterion_ms import (
+            MSLossConfig,
+            compute_losses_ms,
+            weighted_total_ms,
+        )
+
+        if isinstance(loss_cfg, MSLossConfig):
+            losses = compute_losses_ms(out, batch, loss_cfg)
+            losses["weighted_loss_overall"] = weighted_total_ms(losses, loss_cfg)
+        else:
+            losses = compute_losses(out, batch, loss_cfg)
+            losses["weighted_loss_overall"] = weighted_total(losses, loss_cfg)
+        return losses
+
+    def _step(params, batch, point_valid):
         with jax.default_matmul_precision(precision):
             out = model.apply(
-                params, src_txt, src_txt_mask, src_vid, src_vid_mask,
-                point_valid=point_valid, train=False,
+                params,
+                batch["src_txt"],
+                batch["src_txt_mask"],
+                batch["src_vid"],
+                batch["src_vid_mask"],
+                real_neg_mask=batch.get("real_neg_mask"),
+                point_valid=point_valid,
+                train=False,
+                force_neg=loss_cfg is not None,
             )
+        losses = _losses(out, batch) if loss_cfg is not None else {}
         if saliency_only:
             sal = out["saliency_scores"]
-            return sal, sal, sal  # uniform arity with the MR step
+            return sal, sal, sal, losses  # uniform arity with the MR step
         if use_dfl:
             from flashvtg_tpu.models.flashvtg_ms import decode_boundaries_dfl
 
@@ -67,19 +112,93 @@ def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32",
                 point_valid=point_valid,
                 top_k=top_k,
             )
-        return spans, scores, out["saliency_scores"]
+        return spans, scores, out["saliency_scores"], losses
 
-    return step
+    if not use_feed:
+        return jax.jit(_step)
+
+    @jax.jit
+    def step_feed(params, small_batch, idx, feed, point_valid):
+        batch = dict(small_batch)
+        for k, store in feed.items():
+            batch[k] = store[idx]
+        return _step(params, batch, point_valid)
+
+    return step_feed
 
 
-def _batched(dataset: VTGDataset, collator: Collator, bsz: int):
+def _tail_bucket(n: int, bsz: int) -> int:
+    """Smallest power-of-two (capped at bsz) that fits a tail of n rows —
+    a handful of extra compiled programs instead of recomputing up to
+    bsz-1 duplicated rows on every eval epoch."""
+    b = 1
+    while b < n and b < bsz:
+        b *= 2
+    return min(b, bsz)
+
+
+def _batched(dataset: VTGDataset, collator: Collator, bsz: int, order=None):
     n = len(dataset)
+    order = list(range(n)) if order is None else list(order)
     for i in range(0, n, bsz):
-        idx = list(range(i, min(i + bsz, n)))
+        idx = order[i : i + bsz]
         real = len(idx)
-        while len(idx) < bsz:  # pad the tail batch for a static batch size
-            idx.append(idx[-1])
-        yield real, collator([dataset[j] for j in idx])
+        while len(idx) < _tail_bucket(real, bsz):
+            idx.append(idx[-1])  # pad the tail to its (static) bucket size
+        yield real, idx, collator([dataset[j] for j in idx])
+
+
+def _maybe_device_feed(cfg, dataset: VTGDataset, fixed_v_len):
+    """HBM-resident eval feed (cached on the dataset across eval epochs);
+    None when disabled, shapes are bucketed, or the set exceeds the HBM
+    budget. Eval feeds always stay float32 (parity mode)."""
+    from flashvtg_tpu.data.feed import build_device_feed, estimate_feed_bytes
+
+    if getattr(cfg, "device_feed", "off") == "off" or fixed_v_len is None:
+        return None
+    if cfg.device_feed != "on":
+        est = estimate_feed_bytes(
+            len(dataset), fixed_v_len, cfg.total_v_feat_dim,
+            cfg.max_q_l, cfg.t_feat_dim, 4,
+        )
+        if est > cfg.device_feed_budget_gb * 2**30:
+            return None
+    key = (fixed_v_len, cfg.max_q_l)
+    cached = getattr(dataset, "_device_feed_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    collator = Collator(
+        max_q_l=cfg.max_q_l, v_buckets=cfg.v_buckets,
+        dset_name=cfg.dset_name, fixed_v_len=fixed_v_len,
+    )
+    feed = build_device_feed(dataset, collator)
+    dataset._device_feed_cache = (key, feed)
+    return feed
+
+
+def _eval_plan(cfg, dataset: VTGDataset):
+    """(fixed_v_len, iteration order) for the eval batcher.
+
+    With `bucket_eval` the queries are visited longest-video-first so each
+    batch lands in one length bucket (homogeneous shapes -> few compiles,
+    little padding); submissions are keyed by qid, so order is free."""
+    if getattr(cfg, "bucket_eval", False):
+        lens = [float(r.get("duration", 0.0)) for r in dataset.data]
+        return None, list(np.argsort(lens)[::-1])
+    return (cfg.max_v_l if cfg.max_v_l > 0 else None), None
+
+
+def _pipelined(fn, items, depth: int = PIPELINE_DEPTH):
+    """Dispatch fn over items keeping up to `depth` results in flight;
+    yields (item, result) in order. fn must only *dispatch* device work —
+    the caller's consumption of the result is the fence."""
+    q: deque = deque()
+    for item in items:
+        q.append((item, fn(item)))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
 
 
 def run_mr_inference(
@@ -88,38 +207,68 @@ def run_mr_inference(
     params,
     dataset: VTGDataset,
     nms_thd: Optional[float] = None,
-) -> Tuple[List[dict], Optional[List[dict]]]:
-    """Produce submission rows (and NMS'd rows) for an MR dataset."""
+    loss_cfg=None,
+) -> Tuple[List[dict], Optional[List[dict]], Dict[str, float]]:
+    """Produce submission rows (and NMS'd rows) for an MR dataset.
+
+    When `loss_cfg` is given and the dataset carries labels, the criterion is
+    evaluated inside the same jitted program and per-batch means are
+    aggregated into the returned eval-loss dict (reference parity:
+    inference.py:300-306 accumulates criterion losses on the val split).
+    """
+    fixed_v_len, order = _eval_plan(cfg, dataset)
     collator = Collator(
         max_q_l=cfg.max_q_l,
         v_buckets=cfg.v_buckets,
         max_windows=cfg.max_windows,
         dset_name=cfg.dset_name,
-        fixed_v_len=cfg.max_v_l if cfg.max_v_l > 0 else None,
+        fixed_v_len=fixed_v_len,
     )
+    with_losses = loss_cfg is not None and dataset.cfg.load_labels
+    feed = _maybe_device_feed(cfg, dataset, fixed_v_len)
     step = make_eval_step(
-        model, cfg.max_num_moment, getattr(cfg, "eval_precision", "float32")
+        model, cfg.max_num_moment, getattr(cfg, "eval_precision", "float32"),
+        loss_cfg=loss_cfg if with_losses else None,
+        use_feed=feed is not None,
     )
     nms = nms_thd if nms_thd is not None else cfg.nms_thd
 
-    submission: List[dict] = []
-    all_spans, all_scores = [], []
-    for real, batch in _batched(dataset, collator, cfg.eval_bsz):
+    def dispatch(item):
+        real, idx, batch = item
         lv = batch["src_vid"].shape[1]
         strict, counts = pyramid_masks_strict(
             batch["valid_v_lens"], lv, cfg.strides
         )
-        spans, scores, saliency = step(
-            params,
-            batch["src_txt"],
-            batch["src_txt_mask"],
-            batch["src_vid"],
-            batch["src_vid_mask"],
-            jnp.asarray(strict),
-        )
+        if feed is not None:
+            from flashvtg_tpu.data.feed import FEED_KEYS
+
+            small = {
+                k: v for k, v in device_arrays(batch).items()
+                if k not in FEED_KEYS
+            }
+            dev = step(
+                params, small, jnp.asarray(np.asarray(idx, np.int32)),
+                feed, jnp.asarray(strict),
+            )
+        else:
+            dev = step(params, device_arrays(batch), jnp.asarray(strict))
+        return counts, dev
+
+    submission: List[dict] = []
+    loss_sums: Dict[str, float] = {}
+    loss_weight = 0.0
+    for (real, idx, batch), (counts, dev) in _pipelined(
+        dispatch, _batched(dataset, collator, cfg.eval_bsz, order)
+    ):
+        spans, scores, saliency, losses = dev
         spans = np.asarray(spans)
         scores = np.asarray(scores)
         saliency = np.asarray(saliency)
+        if losses:
+            host_losses = jax.device_get(losses)
+            for k, v in host_losses.items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v) * real
+            loss_weight += real
         for j in range(real):
             meta = batch["meta"][j]
             n = min(cfg.max_num_moment, int(counts[j]))
@@ -140,8 +289,6 @@ def run_mr_inference(
                 float(f"{s:.4f}") for s in saliency[j, :lvalid]
             ]
             submission.append(entry)
-            all_spans.append(win)
-            all_scores.append(np.asarray(scores[j, :n]))
 
     post = build_post_processor(cfg.dset_name, cfg.clip_length, cfg.v_feat_dim)
     submission = post(submission)
@@ -153,7 +300,10 @@ def run_mr_inference(
     submission_nms = None
     if nms is not None and nms != -1:
         submission_nms = apply_nms(submission, nms, cfg.nms_type)
-    return submission, submission_nms
+    eval_losses = {
+        k: v / loss_weight for k, v in loss_sums.items()
+    } if loss_weight else {}
+    return submission, submission_nms, eval_losses
 
 
 def apply_nms(submission: List[dict], nms_thd: float, nms_type: str):
@@ -191,29 +341,29 @@ def apply_nms(submission: List[dict], nms_thd: float, nms_type: str):
 
 def run_hl_inference(cfg, model: FlashVTGModel, params, dataset: VTGDataset):
     """TVSum / YouTube-HL: per-domain top-5 mAP over predicted saliency."""
+    fixed_v_len, order = _eval_plan(cfg, dataset)
     collator = Collator(
         max_q_l=cfg.max_q_l,
         v_buckets=cfg.v_buckets,
         dset_name=cfg.dset_name,
-        fixed_v_len=cfg.max_v_l if cfg.max_v_l > 0 else None,
+        fixed_v_len=fixed_v_len,
     )
     step = make_eval_step(
         model, cfg.max_num_moment, getattr(cfg, "eval_precision", "float32"),
         saliency_only=True,
     )
-    preds, labels = [], []
-    for real, batch in _batched(dataset, collator, cfg.eval_bsz):
+
+    def dispatch(item):
+        real, idx, batch = item
         lv = batch["src_vid"].shape[1]
         strict, _ = pyramid_masks_strict(batch["valid_v_lens"], lv, cfg.strides)
-        _, _, saliency = step(
-            params,
-            batch["src_txt"],
-            batch["src_txt_mask"],
-            batch["src_vid"],
-            batch["src_vid_mask"],
-            jnp.asarray(strict),
-        )
-        saliency = np.asarray(saliency)
+        return step(params, device_arrays(batch), jnp.asarray(strict))
+
+    preds, labels = [], []
+    for (real, idx, batch), dev in _pipelined(
+        dispatch, _batched(dataset, collator, cfg.eval_bsz, order)
+    ):
+        saliency = np.asarray(dev[2])
         for j in range(real):
             preds.append(saliency[j])
             labels.append(batch["meta"][j]["label"])

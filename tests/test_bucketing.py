@@ -87,11 +87,11 @@ def test_bucket_invariance(tmp_path, pair_lengths):
         )
 
     # batched together: short video padded into the 256 bucket
-    sub_both, _ = run_mr_inference(cfg, model, params, dataset_for(tmp_path / "val.jsonl"))
+    sub_both, _, _ = run_mr_inference(cfg, model, params, dataset_for(tmp_path / "val.jsonl"))
 
     # short video alone: lands in the 64 bucket
     save_jsonl(rows[:1], tmp_path / "short.jsonl")
-    sub_short, _ = run_mr_inference(
+    sub_short, _, _ = run_mr_inference(
         cfg.replace(eval_bsz=1), model, params, dataset_for(tmp_path / "short.jsonl")
     )
 
@@ -106,3 +106,51 @@ def test_bucket_invariance(tmp_path, pair_lengths):
     assert len(np.asarray(both[1001]["pred_relevant_windows"])) == 50
     long_rows = np.asarray(both[1001]["pred_relevant_windows"])
     assert long_rows[:, 1].max() <= 400.0  # 200 clips * 2s
+
+
+def test_bucket_eval_matches_fixed(tmp_path):
+    """cfg.bucket_eval=True (duration-sorted, per-batch buckets) produces
+    the same per-qid submission as fixed max-length padding."""
+    import jax.numpy as jnp
+
+    rows = _make_env(tmp_path, [30, 200, 60, 150])
+    base = from_preset(
+        "tacos",
+        v_feat_dim=V_DIM, t_feat_dim=T_DIM,
+        v_feat_dirs=(str(tmp_path / "vid"),),
+        t_feat_dir=str(tmp_path / "txt"),
+        eval_path=str(tmp_path / "val.jsonl"),
+        max_v_l=256, max_q_l=12, v_buckets=(64, 256),
+        num_dummies=3, t2v_layers=1, enc_layers=1, dummy_layers=1,
+        num_conv_layers=1, num_mlp_layers=2,
+        eval_bsz=2, nms_thd=-1.0, eval_precision="float32",
+    )
+    model = FlashVTGModel(base.model_config())
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init, static_argnames="train")(
+        {"params": rng},
+        jnp.zeros((1, 12, T_DIM)), jnp.ones((1, 12)),
+        jnp.zeros((1, 64, V_DIM + 2)), jnp.ones((1, 64)),
+        train=False,
+    )
+    dataset = VTGDataset(
+        DataConfig(
+            dset_name="tacos", data_path=str(tmp_path / "val.jsonl"),
+            v_feat_dirs=(str(tmp_path / "vid"),),
+            q_feat_dir=str(tmp_path / "txt"),
+            max_q_l=12, max_v_l=100_000_000, clip_len=2.0,
+        )
+    )
+    sub_fixed, _, _ = run_mr_inference(base, model, params, dataset)
+    sub_bucket, _, _ = run_mr_inference(
+        base.replace(bucket_eval=True), model, params, dataset
+    )
+    assert sorted(s["qid"] for s in sub_bucket) == sorted(
+        s["qid"] for s in sub_fixed
+    )
+    fixed = {s["qid"]: s for s in sub_fixed}
+    for s in sub_bucket:
+        a = np.asarray(s["pred_relevant_windows"])
+        b = np.asarray(fixed[s["qid"]]["pred_relevant_windows"])
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a[:, 2], b[:, 2], atol=5e-4)

@@ -82,7 +82,7 @@ def test_charades_pipeline(tmp_path):
     assert set(np.unique(inputs["saliency_all_labels"])) <= {0.0, 1.0}
     assert inputs["saliency_pos_labels"].shape == (2,)
 
-    submission, submission_nms = run_mr_inference(cfg, model, params, dataset)
+    submission, submission_nms, _ = run_mr_inference(cfg, model, params, dataset)
     assert len(submission) == N
     for s in submission:
         assert "pred_saliency_scores" not in s  # dropped for charades/tacos
@@ -96,7 +96,7 @@ def test_charades_pipeline(tmp_path):
 def test_tacos_pipeline(tmp_path):
     rows = _env(tmp_path, "/root/reference/data/tacos/val.jsonl", clip_len=2.0)
     cfg, model, params, dataset = _run(tmp_path, "tacos", "tacos", 2.0, -1)
-    submission, _ = run_mr_inference(cfg, model, params, dataset)
+    submission, _, _ = run_mr_inference(cfg, model, params, dataset)
     assert len(submission) == N
     assert all(isinstance(s["qid"], str) for s in submission)
     for s in submission:

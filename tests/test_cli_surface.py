@@ -35,11 +35,11 @@ def test_eval_cli_golden(tmp_path):
 
 def test_parse_config_preset_and_overrides():
     cfg, overrides = parse_config(
-        ["qvhighlights_slowclip", "--bsz", "16", "--use_pallas", "true",
+        ["qvhighlights_slowclip", "--bsz", "16", "--bucket_eval", "true",
          "--strides", "1", "2"]
     )
-    assert cfg.bsz == 16 and cfg.use_pallas and cfg.strides == (1, 2)
-    assert set(overrides) == {"bsz", "use_pallas", "strides"}
+    assert cfg.bsz == 16 and cfg.bucket_eval and cfg.strides == (1, 2)
+    assert set(overrides) == {"bsz", "bucket_eval", "strides"}
     # preset values survive where not overridden
     assert cfg.t2v_layers == 6 and cfg.dset_name == "hl"
 

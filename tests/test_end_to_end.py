@@ -101,7 +101,7 @@ def test_inference_to_metrics(synthetic_env, model_and_params):
             clip_len=2.0,
         )
     )
-    submission, submission_nms = run_mr_inference(cfg, model, params, dataset)
+    submission, submission_nms, _ = run_mr_inference(cfg, model, params, dataset)
     assert len(submission) == N_QUERIES
     for s in submission:
         wins = s["pred_relevant_windows"]

@@ -1,0 +1,72 @@
+"""Eval-time criterion losses (reference inference.py:300-306) and the
+tail-batch bucketing of the batched eval path."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from flashvtg_tpu.data.dataset import VTGDataset
+from flashvtg_tpu.train.infer import _tail_bucket, run_mr_inference
+from flashvtg_tpu.train.loop import _dataset_cfg
+from flashvtg_tpu.utils.synthetic import make_synthetic_qvh
+
+
+def test_tail_bucket_sizes():
+    assert _tail_bucket(1, 32) == 1
+    assert _tail_bucket(3, 32) == 4
+    assert _tail_bucket(14, 32) == 16
+    assert _tail_bucket(32, 32) == 32
+    assert _tail_bucket(20, 24) == 24  # capped at bsz even off a power of 2
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from flashvtg_tpu.train.config import from_preset
+
+    root = tmp_path_factory.mktemp("evloss")
+    ann, vdir, qdir = make_synthetic_qvh(
+        str(root), n_queries=13, v_dim=16, t_dim=12, n_clips=16
+    )
+    cfg = from_preset(
+        "qvhighlights_slowclip",
+        v_feat_dim=16, t_feat_dim=12, max_v_l=16, max_q_l=12,
+        hidden_dim=16, dim_feedforward=32, t2v_layers=1, enc_layers=1,
+        dummy_layers=1, num_dummies=2, num_mlp_layers=2, num_conv_layers=1,
+        eval_bsz=8, nms_thd=-1.0, use_neg=True,
+        train_path=ann, eval_path=ann, v_feat_dirs=(vdir,), t_feat_dir=qdir,
+        eval_precision="float32",
+    )
+    model = cfg.build_model()
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init, static_argnames="train")(
+        {"params": rng},
+        jnp.zeros((1, cfg.max_q_l, 12)), jnp.ones((1, cfg.max_q_l)),
+        jnp.zeros((1, cfg.max_v_l, 18)), jnp.ones((1, cfg.max_v_l)),
+        train=False,
+    )
+    dataset = VTGDataset(_dataset_cfg(cfg, cfg.eval_path))
+    return cfg, model, params, dataset
+
+
+def test_eval_losses_returned(env):
+    cfg, model, params, dataset = env
+    sub, _, losses = run_mr_inference(
+        cfg, model, params, dataset, loss_cfg=cfg.loss_config()
+    )
+    # 13 rows at eval_bsz=8 -> one full batch + a bucketed tail of 8
+    assert len(sub) == 13
+    assert "weighted_loss_overall" in losses and "loss_saliency" in losses
+    assert all(np.isfinite(v) for v in losses.values())
+    # without loss_cfg the loss dict is empty and the submission identical
+    sub2, _, empty = run_mr_inference(cfg, model, params, dataset)
+    assert empty == {}
+    assert [s["qid"] for s in sub2] == [s["qid"] for s in sub]
+    for a, b in zip(sub, sub2):
+        np.testing.assert_allclose(
+            np.asarray(a["pred_relevant_windows"], np.float32),
+            np.asarray(b["pred_relevant_windows"], np.float32),
+            rtol=1e-5, atol=1e-6,
+        )

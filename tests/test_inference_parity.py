@@ -80,7 +80,7 @@ def test_full_inference_parity(env):
             clip_len=2.0,
         )
     )
-    submission, _ = run_mr_inference(cfg, model, params, dataset)
+    submission, _, _ = run_mr_inference(cfg, model, params, dataset)
 
     # reference per-query loop on the same (preprocessed) features
     import sys
