@@ -95,22 +95,148 @@ def plot_attention(attn: np.ndarray, out_path, query_tokens=None):
     return out_path
 
 
+def export_attention_maps(ckpt: str, gt_path: str, qid):
+    """Run the checkpointed model on one query and return its attention
+    exports (replaces the reference's tools/visualize_keyword.py, which
+    hard-codes author paths + external models — here the model's own
+    `attn_weights` / `gate` / `word_video_attn` / `slot_att` outputs are
+    used; reference map source: transformer.py:197-206 attention averaging).
+
+    Returns (maps dict of np arrays, meta row, valid video length).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from flashvtg_tpu.data.collate import Collator
+    from flashvtg_tpu.data.dataset import VTGDataset
+    from flashvtg_tpu.train.config import ExperimentConfig
+    from flashvtg_tpu.train.loop import _dataset_cfg, load_checkpoint
+
+    opt_json = f"{__import__('os').path.dirname(ckpt) or '.'}/opt.json"
+    cfg = ExperimentConfig.load(opt_json)
+    if ckpt.endswith(".ckpt"):
+        from flashvtg_tpu.utils.torch_convert import load_torch_checkpoint
+
+        mc = cfg.ms_model_config() if cfg.variant == "ms" else cfg.model_config()
+        params = load_torch_checkpoint(ckpt, mc)
+    else:
+        params = load_checkpoint(ckpt)["params"]
+    model = cfg.build_model()
+
+    dataset = VTGDataset(_dataset_cfg(cfg, gt_path, load_labels=False))
+    idx = next(
+        (i for i, r in enumerate(dataset.data) if str(r["qid"]) == str(qid)),
+        None,
+    )
+    if idx is None:
+        raise SystemExit(f"qid {qid} not found in {gt_path}")
+    collator = Collator(
+        max_q_l=cfg.max_q_l, v_buckets=cfg.v_buckets, dset_name=cfg.dset_name,
+        fixed_v_len=cfg.max_v_l if cfg.max_v_l > 0 else None,
+    )
+    batch = collator([dataset[idx]])
+    out = jax.jit(model.apply, static_argnames="train")(
+        params,
+        jnp.asarray(batch["src_txt"]),
+        jnp.asarray(batch["src_txt_mask"]),
+        jnp.asarray(batch["src_vid"]),
+        jnp.asarray(batch["src_vid_mask"]),
+        train=False,
+    )
+    lv = int(batch["valid_v_lens"][0])
+    lq = int(batch["src_txt_mask"][0].sum())
+    nd = cfg.num_dummies
+    maps = {
+        # per-token ACA attention over real text tokens: (Lv, Lq)
+        "token_attention": np.asarray(out["attn_weights"])[0, :lv, nd : nd + lq],
+        "t2vattnvalues": np.asarray(out["t2vattnvalues"])[0, :lv],
+        "saliency": np.asarray(out["saliency_scores"])[0, :lv],
+    }
+    for k in ("gate", "word_video_attn", "slot_att"):  # _ms-only exports
+        if k in out:
+            maps[k] = np.asarray(out[k])[0]
+    return maps, dataset.data[idx], lv
+
+
+def plot_attention_bundle(maps, meta, out_path, clip_length: float):
+    """One figure: token->video heatmap + attention/saliency curves
+    (+ _ms phrase maps when present)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    extra = [k for k in ("word_video_attn", "slot_att") if k in maps]
+    n_rows = 2 + len(extra)
+    fig, axes = plt.subplots(
+        n_rows, 1, figsize=(12, 3 * n_rows), sharex=False
+    )
+    axes = np.atleast_1d(axes)
+
+    ax = axes[0]
+    im = ax.imshow(maps["token_attention"].T, aspect="auto", cmap="viridis")
+    ax.set_title(
+        f"qid {meta['qid']} ACA text-token attention: "
+        f"{meta.get('query', '')[:80]}"
+    )
+    ax.set_ylabel("text token")
+    fig.colorbar(im, ax=ax, fraction=0.025)
+
+    ax = axes[1]
+    t = np.arange(len(maps["t2vattnvalues"])) * clip_length
+    ax.plot(t, maps["t2vattnvalues"], label="t2v attention value", lw=1.5)
+    ax.plot(t, maps["saliency"], label="saliency", lw=1.5, alpha=0.8)
+    ax.legend(loc="upper right")
+    ax.set_xlabel("time (s)")
+
+    for ax, k in zip(axes[2:], extra):
+        m = maps[k]
+        im = ax.imshow(
+            m if m.ndim == 2 else m[None], aspect="auto", cmap="magma"
+        )
+        ax.set_title(k)
+        fig.colorbar(im, ax=ax, fraction=0.025)
+
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def main(argv=None):
+    from flashvtg_tpu.utils.runtime import setup
+
+    setup()  # honor JAX_PLATFORMS even under the axon sitecustomize
     parser = argparse.ArgumentParser()
-    parser.add_argument("--preds", required=True)
+    parser.add_argument("--preds")
     parser.add_argument("--gt", required=True)
     parser.add_argument("--qid", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--clip_length", type=float, default=2.0)
+    parser.add_argument(
+        "--attention", action="store_true",
+        help="also render the model's attention maps (needs --ckpt)",
+    )
+    parser.add_argument("--ckpt", help="checkpoint dir (orbax) or torch .ckpt")
     args = parser.parse_args(argv)
 
-    preds = {str(r["qid"]): r for r in load_jsonl(args.preds)}
-    gts = {str(r["qid"]): r for r in load_jsonl(args.gt)}
     qid = str(args.qid)
-    if qid not in preds:
-        raise SystemExit(f"qid {qid} not in predictions")
-    plot_query(preds[qid], gts.get(qid, {}), args.out, args.clip_length)
-    print(args.out)
+    if args.preds:
+        preds = {str(r["qid"]): r for r in load_jsonl(args.preds)}
+        gts = {str(r["qid"]): r for r in load_jsonl(args.gt)}
+        if qid not in preds:
+            raise SystemExit(f"qid {qid} not in predictions")
+        plot_query(preds[qid], gts.get(qid, {}), args.out, args.clip_length)
+        print(args.out)
+
+    if args.attention:
+        if not args.ckpt:
+            raise SystemExit("--attention requires --ckpt")
+        maps, meta, _ = export_attention_maps(args.ckpt, args.gt, qid)
+        root, dot, ext = args.out.rpartition(".")
+        attn_out = f"{root}_attn{dot}{ext}" if dot else f"{args.out}_attn.png"
+        plot_attention_bundle(maps, meta, attn_out, args.clip_length)
+        print(attn_out)
 
 
 if __name__ == "__main__":
