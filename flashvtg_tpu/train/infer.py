@@ -348,15 +348,27 @@ def run_hl_inference(cfg, model: FlashVTGModel, params, dataset: VTGDataset):
         dset_name=cfg.dset_name,
         fixed_v_len=fixed_v_len,
     )
+    feed = _maybe_device_feed(cfg, dataset, fixed_v_len)
     step = make_eval_step(
         model, cfg.max_num_moment, getattr(cfg, "eval_precision", "float32"),
-        saliency_only=True,
+        saliency_only=True, use_feed=feed is not None,
     )
 
     def dispatch(item):
         real, idx, batch = item
         lv = batch["src_vid"].shape[1]
         strict, _ = pyramid_masks_strict(batch["valid_v_lens"], lv, cfg.strides)
+        if feed is not None:
+            from flashvtg_tpu.data.feed import FEED_KEYS
+
+            small = {
+                k: v for k, v in device_arrays(batch).items()
+                if k not in FEED_KEYS
+            }
+            return step(
+                params, small, jnp.asarray(np.asarray(idx, np.int32)),
+                feed, jnp.asarray(strict),
+            )
         return step(params, device_arrays(batch), jnp.asarray(strict))
 
     preds, labels = [], []

@@ -1,9 +1,11 @@
-"""Train-step throughput on the TPU chip (QVHighlights flagship config).
+"""Train-step throughput on the TPU chip.
 
-Measures steps/sec of the production donated+buffered train step at B=64
-(reference-scale batch) with synthetic features, isolating the VERDICT
-round-1 finding that ~2/3 of step wall time was dispatch overhead.
-Run standalone: python scripts/bench_train.py
+Measures steps/sec of the production donated+buffered train step with
+synthetic features at reference-scale batch shapes.
+
+    python scripts/bench_train.py            # QVHighlights flagship (B=64)
+    python scripts/bench_train.py tacos      # real-shape TACoS: B=32, Lv=2048,
+                                             # t2v_layers=8, chunked self-attn
 """
 
 import json
@@ -23,9 +25,15 @@ enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 
-BSZ, LV, LQ = 64, 75, 32
-V_DIM, T_DIM = 2816, 512
-STEPS = 30
+PRESET = sys.argv[1] if len(sys.argv) > 1 else "qvhighlights_slowclip"
+if PRESET == "tacos":
+    BSZ, LV, LQ = 32, 2048, 40
+    V_DIM, T_DIM = 768, 4096
+    STEPS = 10
+else:
+    BSZ, LV, LQ = 64, 75, 32
+    V_DIM, T_DIM = 2816, 512
+    STEPS = 30
 
 
 def log(*a):
@@ -36,7 +44,7 @@ def main():
     from flashvtg_tpu.train.config import from_preset
     from flashvtg_tpu.train.loop import make_optimizer, make_train_step
 
-    cfg = from_preset("qvhighlights_slowclip")
+    cfg = from_preset(PRESET)
     model = cfg.build_model()
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init, static_argnames="train")(
@@ -140,8 +148,9 @@ def main():
     log(f"device-feed: {STEPS} steps in {dtf:.3f}s -> {spsf:.2f} steps/s "
         f"({spsf * BSZ:.0f} samples/s)")
     print(json.dumps({
-        "train_steps_per_sec_b64_streamed": round(sps, 2),
-        "train_steps_per_sec_b64_feed": round(spsf, 2),
+        "preset": PRESET,
+        "train_steps_per_sec_streamed": round(sps, 2),
+        "train_steps_per_sec_feed": round(spsf, 2),
         "feed_speedup": round(spsf / sps, 2),
         "samples_per_sec_feed": round(spsf * BSZ, 1),
     }))
