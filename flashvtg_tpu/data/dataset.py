@@ -148,9 +148,32 @@ class VTGDataset:
         return len(self.data)
 
     def __getitem__(self, index):
-        if self._cache[index] is None:
-            self._cache[index] = self._build(self.data[index])
-        return self.data[index], self._cache[index]
+        """(meta, model_inputs). Features are loaded once and cached (the
+        reference preloads everything into RAM, start_end_dataset.py:153-158);
+        the STOCHASTIC parts — saliency pos/neg sampling, GT-window
+        subsampling, txt_drop — are re-drawn on every access, exactly like
+        the reference's per-__getitem__ `random.sample` calls
+        (start_end_dataset.py:239-250)."""
+        feats = self._cache[index]
+        if feats is None:
+            feats = self._build(self.data[index])
+            self._cache[index] = feats
+        out = dict(feats)
+        if self.cfg.txt_drop_ratio > 0:
+            out["query_feat"] = self._drop_rows(out["query_feat"])
+        if self.cfg.load_labels:
+            self._attach_labels(self.data[index], out)
+        return self.data[index], out
+
+    def features_only(self, index):
+        """(meta, features) WITHOUT labels or txt_drop — no RNG is consumed,
+        so bulk passes (e.g. the HBM feed build) leave the label-sampling
+        stream untouched."""
+        feats = self._cache[index]
+        if feats is None:
+            feats = self._build(self.data[index])
+            self._cache[index] = feats
+        return self.data[index], dict(feats)
 
     # -- feature loading ----------------------------------------------------
 
@@ -181,8 +204,8 @@ class VTGDataset:
                 q = l2_normalize(q)
         else:
             q = _try_paths(candidates, max_rows=trunc, l2norm=cfg.normalize_t)
-        if cfg.txt_drop_ratio > 0:
-            q = self._drop_rows(q)
+        # NOTE: txt_drop is applied per-access in __getitem__, never here —
+        # the cached copy must stay undropped
         return q
 
     def _video_feat(self, vid: str) -> np.ndarray:
@@ -241,6 +264,7 @@ class VTGDataset:
     # -- sample assembly ----------------------------------------------------
 
     def _build(self, meta) -> dict:
+        """Deterministic per-sample features (cached across epochs)."""
         cfg = self.cfg
         out = {"vid": meta["vid"], "qid": meta["qid"]}
         out["query_feat"] = self._query_feat(meta)
@@ -257,9 +281,13 @@ class VTGDataset:
                 if self.use_video
                 else tef
             )
+        return out
 
-        if not cfg.load_labels:
-            return out
+    def _attach_labels(self, meta, out: dict) -> None:
+        """Per-access label generation (resampled every epoch, like the
+        reference's random.sample inside __getitem__)."""
+        cfg = self.cfg
+        ctx_l = len(out["video_feat"]) if self.use_video else cfg.max_v_l
 
         if cfg.dset_name == "tvsum":
             out["gt_windows"] = np.zeros((1, 2), np.float32)
@@ -285,8 +313,7 @@ class VTGDataset:
                     self.rng,
                 )
         else:  # test split without labels
-            return out
+            return
         out["saliency_pos_labels"] = np.asarray(pos, np.int64)
         out["saliency_neg_labels"] = np.asarray(neg, np.int64)
         out["saliency_all_labels"] = np.asarray(sal, np.float32)
-        return out

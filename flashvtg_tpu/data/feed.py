@@ -54,10 +54,13 @@ def build_device_feed(
     import jax
 
     n = len(dataset)
+    # features only: must NOT consume the dataset's label-sampling RNG
+    # stream (labels are re-drawn per access, reference semantics)
+    get = getattr(dataset, "features_only", dataset.__getitem__)
     host: Dict[str, np.ndarray] = {}
     for start in range(0, n, chunk):
         idx = range(start, min(start + chunk, n))
-        batch = collator([dataset[i] for i in idx])
+        batch = collator([get(i) for i in idx])
         for k in FEED_KEYS:
             v = batch[k]
             if dtype is not None and k in ("src_vid", "src_txt"):

@@ -85,13 +85,16 @@ def test_eval_with_feed_matches_streamed(env):
         jnp.zeros((1, cfg.max_v_l, 34)), jnp.ones((1, cfg.max_v_l)),
         train=False,
     )
-    dataset = VTGDataset(_dataset_cfg(cfg, cfg.eval_path))
+    # fresh dataset per run: labels are re-sampled on every access
+    # (reference semantics), so an identical RNG stream needs a rebuild
     s_on, _, l_on = run_mr_inference(
-        cfg.replace(device_feed="on"), model, params, dataset,
+        cfg.replace(device_feed="on"), model, params,
+        VTGDataset(_dataset_cfg(cfg, cfg.eval_path)),
         loss_cfg=cfg.loss_config(),
     )
     s_off, _, l_off = run_mr_inference(
-        cfg.replace(device_feed="off"), model, params, dataset,
+        cfg.replace(device_feed="off"), model, params,
+        VTGDataset(_dataset_cfg(cfg, cfg.eval_path)),
         loss_cfg=cfg.loss_config(),
     )
     assert [s["qid"] for s in s_on] == [s["qid"] for s in s_off]
@@ -103,3 +106,20 @@ def test_eval_with_feed_matches_streamed(env):
         )
     for k in l_off:
         np.testing.assert_allclose(l_on[k], l_off[k], rtol=1e-5, atol=1e-6)
+
+
+def test_labels_resampled_per_access_features_cached(env):
+    """Reference semantics: saliency pos/neg pairs are re-drawn on every
+    __getitem__ (start_end_dataset.py:239-250) while features are loaded
+    once. features_only() must not consume the label RNG stream."""
+    root, cfg = env
+    dataset = VTGDataset(_dataset_cfg(cfg, cfg.train_path))
+    _, a = dataset[0]
+    state = dataset.rng.getstate()
+    _, f = dataset.features_only(0)
+    assert dataset.rng.getstate() == state  # no RNG consumed
+    np.testing.assert_array_equal(a["video_feat"], f["video_feat"])
+    draws = [tuple(dataset[0][1]["saliency_pos_labels"]) for _ in range(8)]
+    assert len(set(draws)) > 1  # resampled across accesses
+    feats = [dataset[0][1]["video_feat"] for _ in range(2)]
+    np.testing.assert_array_equal(feats[0], feats[1])  # features stable
