@@ -119,6 +119,27 @@ def bench_tpu():
     qps = N_QUERIES / best
     log(f"tpu ({cfg.eval_precision}): {N_QUERIES} queries in {best:.4f}s "
         f"-> {qps:.1f} q/s")
+
+    # side measurements (stderr only): MXU precision headroom for serving
+    # deployments that accept lower-precision matmuls. The headline number
+    # stays float32 — the parity-gated mode.
+    for prec in ("tensorfloat32", "bfloat16"):
+        try:
+            pstep = make_eval_step(model, cfg.max_num_moment, prec)
+
+            def prun():
+                inflight = [pstep(params, dev, strict_dev) for dev in batches]
+                return [np.asarray(s) for _, s, _, _ in inflight]
+
+            prun()  # compile
+            bp = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                prun()
+                bp = min(bp, time.perf_counter() - t0)
+            log(f"tpu ({prec}, serving headroom): {N_QUERIES / bp:.1f} q/s")
+        except Exception as e:
+            log(f"{prec} side-measurement skipped: {e!r}")
     return qps
 
 
