@@ -23,6 +23,10 @@ class Collator:
     max_windows: int = 5
     dset_name: str = "hl"
     fixed_v_len: Optional[int] = None  # pin the video length (single-bucket)
+    # skip padding the big feature/mask tensors — for feed-mode batches,
+    # where features live HBM-resident (data/feed.py) and only labels and
+    # bookkeeping cross the wire
+    pad_features: bool = True
 
     def __call__(self, samples: List[tuple]) -> Dict[str, np.ndarray]:
         metas = [m for m, _ in samples]
@@ -31,16 +35,7 @@ class Collator:
         v_lens = [len(x["video_feat"]) for x in inputs]
         lv = self.fixed_v_len or bucket_length(max(v_lens), self.v_buckets)
 
-        src_vid, vid_mask = pad_batch([x["video_feat"] for x in inputs], lv)
-        src_txt, txt_mask = pad_batch(
-            [x["query_feat"] for x in inputs], self.max_q_l
-        )
-
         batch = {
-            "src_txt": src_txt,
-            "src_txt_mask": txt_mask,
-            "src_vid": src_vid,
-            "src_vid_mask": vid_mask,
             "valid_v_lens": np.asarray(
                 [min(l, lv) for l in v_lens], np.int64
             ),
@@ -48,6 +43,17 @@ class Collator:
             "qid": [x["qid"] for x in inputs],
             "meta": metas,
         }
+        if self.pad_features:
+            src_vid, vid_mask = pad_batch([x["video_feat"] for x in inputs], lv)
+            src_txt, txt_mask = pad_batch(
+                [x["query_feat"] for x in inputs], self.max_q_l
+            )
+            batch.update(
+                src_txt=src_txt,
+                src_txt_mask=txt_mask,
+                src_vid=src_vid,
+                src_vid_mask=vid_mask,
+            )
 
         if "saliency_all_labels" in inputs[0]:
             sal, _ = pad_batch(

@@ -281,6 +281,13 @@ class VTGDataset:
                 if self.use_video
                 else tef
             )
+        # TVSum clips beyond the annotated label rows are dropped — this is
+        # deterministic (len of meta["label"]) and must live in the FEATURE
+        # path so feed-resident features/masks match the streamed ones
+        # (reference: label-length truncation after TEF concat)
+        if cfg.dset_name == "tvsum" and self.use_video and "label" in meta:
+            n = min(len(meta["label"]), cfg.max_v_l, len(out["video_feat"]))
+            out["video_feat"] = out["video_feat"][:n]
         return out
 
     def _attach_labels(self, meta, out: dict) -> None:

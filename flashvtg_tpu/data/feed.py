@@ -29,6 +29,15 @@ logger = logging.getLogger(__name__)
 
 FEED_KEYS = ("src_vid", "src_vid_mask", "src_txt", "src_txt_mask")
 
+# bytes of feed tensors already resident in HBM this process — train and
+# eval feeds coexist during in-training eval, so the budget is SHARED:
+# callers gate on `estimate <= budget - resident_feed_bytes()`
+_RESIDENT_BYTES = 0
+
+
+def resident_feed_bytes() -> int:
+    return _RESIDENT_BYTES
+
 
 def estimate_feed_bytes(n: int, max_v_l: int, v_dim: int, max_q_l: int,
                         t_dim: int, dtype_bytes: int = 4) -> int:
@@ -76,7 +85,10 @@ def build_device_feed(
             jax.device_put(v, sharding) if sharding is not None
             else jax.device_put(v)
         )
+    global _RESIDENT_BYTES
+    _RESIDENT_BYTES += total
     logger.info(
-        "device feed: %d rows, %.2f GB resident in HBM", n, total / 2**30
+        "device feed: %d rows, %.2f GB resident in HBM (%.2f GB total)",
+        n, total / 2**30, _RESIDENT_BYTES / 2**30,
     )
     return feed

@@ -232,9 +232,11 @@ def main(argv=None):
     if args.attention:
         if not args.ckpt:
             raise SystemExit("--attention requires --ckpt")
+        import os
+
         maps, meta, _ = export_attention_maps(args.ckpt, args.gt, qid)
-        root, dot, ext = args.out.rpartition(".")
-        attn_out = f"{root}_attn{dot}{ext}" if dot else f"{args.out}_attn.png"
+        root, ext = os.path.splitext(args.out)
+        attn_out = f"{root}_attn{ext or '.png'}"
         plot_attention_bundle(maps, meta, attn_out, args.clip_length)
         print(attn_out)
 

@@ -150,23 +150,31 @@ def _batched(dataset: VTGDataset, collator: Collator, bsz: int, order=None):
 
 def _maybe_device_feed(cfg, dataset: VTGDataset, fixed_v_len):
     """HBM-resident eval feed (cached on the dataset across eval epochs);
-    None when disabled, shapes are bucketed, or the set exceeds the HBM
-    budget. Eval feeds always stay float32 (parity mode)."""
-    from flashvtg_tpu.data.feed import build_device_feed, estimate_feed_bytes
+    None when disabled, shapes are bucketed, the dataset applies per-access
+    txt_drop (streamed and resident text would then differ), or the set
+    exceeds what is LEFT of the shared HBM budget (the training feed may
+    already be resident). Eval feeds always stay float32 (parity mode)."""
+    from flashvtg_tpu.data.feed import (
+        build_device_feed,
+        estimate_feed_bytes,
+        resident_feed_bytes,
+    )
 
     if getattr(cfg, "device_feed", "off") == "off" or fixed_v_len is None:
         return None
+    if dataset.cfg.txt_drop_ratio > 0:
+        return None
+    key = (fixed_v_len, cfg.max_q_l)
+    cached = getattr(dataset, "_device_feed_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
     if cfg.device_feed != "on":
         est = estimate_feed_bytes(
             len(dataset), fixed_v_len, cfg.total_v_feat_dim,
             cfg.max_q_l, cfg.t_feat_dim, 4,
         )
-        if est > cfg.device_feed_budget_gb * 2**30:
+        if est > cfg.device_feed_budget_gb * 2**30 - resident_feed_bytes():
             return None
-    key = (fixed_v_len, cfg.max_q_l)
-    cached = getattr(dataset, "_device_feed_cache", None)
-    if cached is not None and cached[0] == key:
-        return cached[1]
     collator = Collator(
         max_q_l=cfg.max_q_l, v_buckets=cfg.v_buckets,
         dset_name=cfg.dset_name, fixed_v_len=fixed_v_len,
@@ -174,6 +182,20 @@ def _maybe_device_feed(cfg, dataset: VTGDataset, fixed_v_len):
     feed = build_device_feed(dataset, collator)
     dataset._device_feed_cache = (key, feed)
     return feed
+
+
+def _has_labels(dataset: VTGDataset) -> bool:
+    """Whether samples actually carry training labels (a test split may
+    load_labels=True yet have no GT fields) — probed without consuming the
+    dataset's label-sampling RNG stream."""
+    if not len(dataset) or not dataset.cfg.load_labels:
+        return False
+    state = dataset.rng.getstate()
+    try:
+        _, sample = dataset[0]
+    finally:
+        dataset.rng.setstate(state)
+    return "saliency_all_labels" in sample
 
 
 def _eval_plan(cfg, dataset: VTGDataset):
@@ -217,15 +239,17 @@ def run_mr_inference(
     inference.py:300-306 accumulates criterion losses on the val split).
     """
     fixed_v_len, order = _eval_plan(cfg, dataset)
+    with_losses = loss_cfg is not None and _has_labels(dataset)
+    feed = _maybe_device_feed(cfg, dataset, fixed_v_len)
     collator = Collator(
         max_q_l=cfg.max_q_l,
         v_buckets=cfg.v_buckets,
         max_windows=cfg.max_windows,
         dset_name=cfg.dset_name,
         fixed_v_len=fixed_v_len,
+        # feed mode: features are HBM-resident — don't pad them on the host
+        pad_features=feed is None,
     )
-    with_losses = loss_cfg is not None and dataset.cfg.load_labels
-    feed = _maybe_device_feed(cfg, dataset, fixed_v_len)
     step = make_eval_step(
         model, cfg.max_num_moment, getattr(cfg, "eval_precision", "float32"),
         loss_cfg=loss_cfg if with_losses else None,
@@ -235,7 +259,7 @@ def run_mr_inference(
 
     def dispatch(item):
         real, idx, batch = item
-        lv = batch["src_vid"].shape[1]
+        lv = fixed_v_len if feed is not None else batch["src_vid"].shape[1]
         strict, counts = pyramid_masks_strict(
             batch["valid_v_lens"], lv, cfg.strides
         )
@@ -255,8 +279,14 @@ def run_mr_inference(
         return counts, dev
 
     submission: List[dict] = []
+    # eval losses: per-batch means accumulate from FULL batches only — a
+    # padded tail batch's in-jit mean counts duplicated pad rows, which
+    # would bias the logged curves (fallback to the tail when the whole
+    # split is smaller than one batch)
     loss_sums: Dict[str, float] = {}
     loss_weight = 0.0
+    tail_losses: Dict[str, float] = {}
+    tail_weight = 0.0
     for (real, idx, batch), (counts, dev) in _pipelined(
         dispatch, _batched(dataset, collator, cfg.eval_bsz, order)
     ):
@@ -266,9 +296,14 @@ def run_mr_inference(
         saliency = np.asarray(saliency)
         if losses:
             host_losses = jax.device_get(losses)
-            for k, v in host_losses.items():
-                loss_sums[k] = loss_sums.get(k, 0.0) + float(v) * real
-            loss_weight += real
+            if real == len(idx):  # no duplicated pad rows in this batch
+                for k, v in host_losses.items():
+                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v) * real
+                loss_weight += real
+            else:
+                for k, v in host_losses.items():
+                    tail_losses[k] = tail_losses.get(k, 0.0) + float(v) * real
+                tail_weight += real
         for j in range(real):
             meta = batch["meta"][j]
             n = min(cfg.max_num_moment, int(counts[j]))
@@ -300,6 +335,8 @@ def run_mr_inference(
     submission_nms = None
     if nms is not None and nms != -1:
         submission_nms = apply_nms(submission, nms, cfg.nms_type)
+    if not loss_weight and tail_weight:
+        loss_sums, loss_weight = tail_losses, tail_weight
     eval_losses = {
         k: v / loss_weight for k, v in loss_sums.items()
     } if loss_weight else {}
@@ -342,13 +379,14 @@ def apply_nms(submission: List[dict], nms_thd: float, nms_type: str):
 def run_hl_inference(cfg, model: FlashVTGModel, params, dataset: VTGDataset):
     """TVSum / YouTube-HL: per-domain top-5 mAP over predicted saliency."""
     fixed_v_len, order = _eval_plan(cfg, dataset)
+    feed = _maybe_device_feed(cfg, dataset, fixed_v_len)
     collator = Collator(
         max_q_l=cfg.max_q_l,
         v_buckets=cfg.v_buckets,
         dset_name=cfg.dset_name,
         fixed_v_len=fixed_v_len,
+        pad_features=feed is None,
     )
-    feed = _maybe_device_feed(cfg, dataset, fixed_v_len)
     step = make_eval_step(
         model, cfg.max_num_moment, getattr(cfg, "eval_precision", "float32"),
         saliency_only=True, use_feed=feed is not None,
@@ -356,7 +394,7 @@ def run_hl_inference(cfg, model: FlashVTGModel, params, dataset: VTGDataset):
 
     def dispatch(item):
         real, idx, batch = item
-        lv = batch["src_vid"].shape[1]
+        lv = fixed_v_len if feed is not None else batch["src_vid"].shape[1]
         strict, _ = pyramid_masks_strict(batch["valid_v_lens"], lv, cfg.strides)
         if feed is not None:
             from flashvtg_tpu.data.feed import FEED_KEYS

@@ -167,7 +167,11 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
     return run_step
 
 
-def _dataset_cfg(cfg: ExperimentConfig, path: str, load_labels=True) -> DataConfig:
+def _dataset_cfg(cfg: ExperimentConfig, path: str, load_labels=True,
+                 train=False) -> DataConfig:
+    """`train=False` zeroes txt_drop_ratio — the reference applies text-row
+    dropout to the training split only (train.py:392, inference.py:525,
+    guarded by start_end_dataset.py:100)."""
     return DataConfig(
         dset_name=cfg.dset_name,
         data_path=path,
@@ -183,7 +187,7 @@ def _dataset_cfg(cfg: ExperimentConfig, path: str, load_labels=True) -> DataConf
         load_labels=load_labels,
         clip_len=cfg.clip_length,
         max_windows=cfg.max_windows,
-        txt_drop_ratio=cfg.txt_drop_ratio,
+        txt_drop_ratio=cfg.txt_drop_ratio if train else 0.0,
         dset_domain=cfg.dset_domain,
         seed=cfg.seed,
         eos_first=getattr(cfg, "eos_first", False),
@@ -210,9 +214,11 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
         metrics = run_hl_inference(cfg, model, params, eval_dataset)
         save_jsonl([metrics], os.path.join(results_dir, f"{tag}_metric.jsonl"))
         return metrics, None, {}
+    t0 = time.time()
     submission, submission_nms, eval_losses = run_mr_inference(
         cfg, model, params, eval_dataset, loss_cfg=loss_cfg
     )
+    infer_s = time.time() - t0
     sub_path = os.path.join(
         results_dir, f"{tag}_{cfg.dset_name}_{cfg.eval_split_name}_preds.jsonl"
     )
@@ -221,7 +227,12 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
     if cfg.eval_split_name == "val":
         from flashvtg_tpu.eval.metrics import eval_submission
 
+        t0 = time.time()
         metrics = eval_submission(submission, eval_dataset.data, verbose=False)
+        logger.info(
+            "eval timing: infer %.2fs, metrics %.2fs (%d queries)",
+            infer_s, time.time() - t0, len(submission),
+        )
         save_json(metrics, sub_path.replace(".jsonl", "_metrics.json"), pretty=True)
         if submission_nms is not None:
             save_jsonl(
@@ -331,7 +342,9 @@ def build_mesh_for(bsz: int, devices=None):
     from flashvtg_tpu.parallel.mesh import make_mesh
 
     devices = list(devices if devices is not None else jax.devices())
-    data = math.gcd(bsz, len(devices))
+    data = max(
+        (d for d in range(1, len(devices) + 1) if bsz % d == 0), default=1
+    )
     if data <= 1:
         return None
     return make_mesh(devices[:data], data=data, model=1)
@@ -355,9 +368,16 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     except Exception as e:  # snapshot failures must never kill training
         logger.warning("code snapshot failed: %s", e)
 
-    train_dataset = VTGDataset(_dataset_cfg(cfg, cfg.train_path))
+    train_dataset = VTGDataset(_dataset_cfg(cfg, cfg.train_path, train=True))
     eval_dataset = (
-        VTGDataset(_dataset_cfg(cfg, cfg.eval_path)) if cfg.eval_path else None
+        VTGDataset(
+            _dataset_cfg(
+                cfg, cfg.eval_path,
+                load_labels=cfg.eval_split_name == "val",
+            )
+        )
+        if cfg.eval_path
+        else None
     )
 
     model = cfg.build_model()
@@ -385,6 +405,13 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
 
     def put_batch(host_batch):
         if data_sh is not None:
+            if jax.process_count() > 1:
+                # multi-controller: each process contributes its local rows
+                # of the global batch (the mesh's data axis spans all hosts)
+                return {
+                    k: jax.make_array_from_process_local_data(data_sh, v)
+                    for k, v in host_batch.items()
+                }
             return {k: jax.device_put(v, data_sh) for k, v in host_batch.items()}
         return {k: jnp.asarray(v) for k, v in host_batch.items()}
 
@@ -469,6 +496,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         FEED_KEYS,
         build_device_feed,
         estimate_feed_bytes,
+        resident_feed_bytes,
     )
 
     feed = None
@@ -478,7 +506,10 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             len(train_dataset), cfg.max_v_l, cfg.total_v_feat_dim,
             cfg.max_q_l, cfg.t_feat_dim, dtype_bytes,
         )
-        if cfg.device_feed == "on" or est <= cfg.device_feed_budget_gb * 2**30:
+        # SHARED budget: the eval feed will also go resident during
+        # in-training eval; resident_feed_bytes() tracks what's already there
+        remaining = cfg.device_feed_budget_gb * 2**30 - resident_feed_bytes()
+        if cfg.device_feed == "on" or est <= remaining:
             feed = build_device_feed(
                 train_dataset, collator, sharding=rep_sh,
                 dtype=cfg.transfer_dtype if cfg.transfer_dtype != "float32"
@@ -491,8 +522,25 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             )
 
     # multi-host: each process feeds its own strided slice of the data (DCN
-    # level); the mesh's data axis splits each local batch over local chips
+    # level) and its own bsz/process_count rows of each GLOBAL batch; the
+    # mesh's data axis (spanning all hosts' chips) splits the assembled
+    # global batch. steps_per_epoch and the LR schedule are defined in
+    # global batches, so they are host-count invariant.
     from flashvtg_tpu.parallel.mesh import shard_rows_for_host
+
+    pc = jax.process_count()
+    if cfg.bsz % pc:
+        raise ValueError(
+            f"bsz={cfg.bsz} must be divisible by process_count={pc}"
+        )
+    local_bsz = cfg.bsz // pc
+    # feed-mode batches skip feature padding entirely: features are gathered
+    # on-device from the HBM residents, the host ships labels + indices
+    step_collator = (
+        dataclasses.replace(collator, pad_features=False)
+        if feed is not None
+        else collator
+    )
 
     all_rows = np.arange(len(train_dataset))
     shuffler = np.random.default_rng(cfg.seed)
@@ -531,10 +579,10 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         steps_done = 0
         with trace_ctx:
             for i in range(steps_per_epoch):
-                idx = order[i * cfg.bsz : (i + 1) * cfg.bsz]
-                if len(idx) < cfg.bsz:
+                idx = order[i * local_bsz : (i + 1) * local_bsz]
+                if len(idx) < local_bsz:
                     continue
-                batch = collator([train_dataset[j] for j in idx])
+                batch = step_collator([train_dataset[j] for j in idx])
                 host_batch = device_arrays(batch)
                 rng, sub = jax.random.split(rng)
                 if feed is not None:
@@ -578,7 +626,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         writer.write(
             global_step,
             {"epoch_seconds": dt,
-             "steps_per_sec": max(steps_per_epoch, 1) / max(dt, 1e-9)},
+             "steps_per_sec": max(steps_done, 1) / max(dt, 1e-9)},
             prefix="perf/",
         )
         logger.info(

@@ -151,7 +151,9 @@ def test_train_auto_mesh_default(tmp_path):
 
     mesh = build_mesh_for(16)
     assert mesh is not None and mesh.shape["data"] == 8
-    # bsz=4 on 8 devices -> largest dividing chip count is 4
+    # largest device count <= 8 dividing bsz (NOT gcd: bsz=12 -> 6, not 4)
     assert build_mesh_for(4).shape["data"] == 4
-    # bsz=3 on 8 devices -> no usable data axis
-    assert build_mesh_for(3) is None
+    assert build_mesh_for(3).shape["data"] == 3
+    assert build_mesh_for(12).shape["data"] == 6
+    # bsz=1: single device -> no mesh
+    assert build_mesh_for(1) is None
