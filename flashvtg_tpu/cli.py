@@ -133,9 +133,17 @@ def main(argv=None):
             _dataset_cfg(cfg, cfg.eval_path, load_labels=cfg.eval_split_name == "val")
         )
         results_dir = os.path.dirname(cfg.resume) or "."
-        metrics, metrics_nms, _ = evaluate(
-            cfg, model, params, dataset, results_dir, tag="infer"
+        # criterion losses on labeled splits, like the reference's
+        # inference.py:300-306 (silently skipped when labels are absent)
+        loss_cfg = (
+            cfg.ms_loss_config() if cfg.variant == "ms" else cfg.loss_config()
         )
+        metrics, metrics_nms, eval_losses = evaluate(
+            cfg, model, params, dataset, results_dir, tag="infer",
+            loss_cfg=loss_cfg,
+        )
+        if eval_losses:
+            print("eval losses:", {k: round(v, 4) for k, v in eval_losses.items()})
         if metrics is not None:
             print(dict(metrics["brief"]))
         if metrics_nms is not None:
