@@ -139,3 +139,76 @@ def test_tvsum_inference_pipeline(tvsum_env):
     )
     metrics = run_hl_inference(cfg, model, params, dataset)
     assert 0.0 <= metrics["brief"]["mAP"] <= 1.0
+
+
+def test_tvsum_feed_matches_streamed_with_truncation(tmp_path):
+    """TVSum videos with MORE clips than annotated label rows are truncated
+    in the deterministic feature path, so the HBM-resident eval feed and the
+    streamed path see identical features/masks (regression: the truncation
+    used to live in the label path, which features_only() skipped)."""
+    import json
+
+    rng = np.random.default_rng(3)
+    (tmp_path / "vid").mkdir()
+    (tmp_path / "txt").mkdir()
+    rows = []
+    for i, (n_feat, n_label) in enumerate([(40, 30), (25, 25), (30, 40)]):
+        vid = f"tv{i}"
+        rows.append(dict(
+            qid=vid, query=f"q{i}", duration=n_feat, vid=vid,
+            relevant_clip_ids=None, relevant_windows=None,
+            label=[[float(x) for x in rng.integers(1, 6, 20)]
+                   for _ in range(n_label)],
+            domain="VT",
+        ))
+        np.savez(tmp_path / "vid" / f"{vid}.npz",
+                 features=rng.standard_normal((n_feat, 16), dtype=np.float32))
+        np.savez(tmp_path / "txt" / f"{vid}.npz",
+                 last_hidden_state=rng.standard_normal((6, 12),
+                                                       dtype=np.float32))
+    save_jsonl(rows, tmp_path / "val.jsonl")
+
+    cfg = from_preset(
+        "tvsum",
+        v_feat_dim=16, t_feat_dim=12, max_v_l=48, max_q_l=8, eval_bsz=2,
+        dset_domain="VT", hidden_dim=16, dim_feedforward=32, t2v_layers=1,
+        enc_layers=1, dummy_layers=1, num_dummies=2, num_mlp_layers=2,
+        num_conv_layers=1, eval_precision="float32",
+        v_feat_dirs=(str(tmp_path / "vid"),), t_feat_dir=str(tmp_path / "txt"),
+        eval_path=str(tmp_path / "val.jsonl"),
+    )
+    import jax.numpy as jnp
+
+    model = cfg.build_model()
+    rng_j = jax.random.PRNGKey(0)
+    params = jax.jit(model.init, static_argnames="train")(
+        {"params": rng_j},
+        jnp.zeros((1, 8, 12)), jnp.ones((1, 8)),
+        jnp.zeros((1, 48, 18)), jnp.ones((1, 48)),
+        train=False,
+    )
+
+    def dataset():
+        return VTGDataset(DataConfig(
+            dset_name="tvsum", data_path=str(tmp_path / "val.jsonl"),
+            v_feat_dirs=(str(tmp_path / "vid"),),
+            q_feat_dir=str(tmp_path / "txt"), max_q_l=8, max_v_l=48,
+            dset_domain="VT",
+        ))
+
+    # truncation happened in the feature path: video 0 is 30 rows, not 40
+    ds = dataset()
+    _, s0 = ds[0]
+    assert len(s0["video_feat"]) == 30
+    _, f0 = ds.features_only(0)
+    assert len(f0["video_feat"]) == 30
+
+    m_on = run_hl_inference(
+        cfg.replace(device_feed="on"), model, params, dataset()
+    )
+    m_off = run_hl_inference(
+        cfg.replace(device_feed="off"), model, params, dataset()
+    )
+    np.testing.assert_allclose(
+        m_on["brief"]["mAP"], m_off["brief"]["mAP"], rtol=1e-6
+    )
