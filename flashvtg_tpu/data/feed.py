@@ -21,7 +21,7 @@ for sets that do not fit (e.g. charades_vgg/tacos at Lv=2048).
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -26,7 +26,6 @@ import contextlib
 import dataclasses
 import functools
 import logging
-import math
 import os
 import time
 from typing import Any, Dict, Optional
@@ -39,7 +38,6 @@ import optax
 from flashvtg_tpu.data.collate import Collator, device_arrays
 from flashvtg_tpu.data.dataset import DataConfig, VTGDataset
 from flashvtg_tpu.losses.criterion import compute_losses, loss_keys, weighted_total
-from flashvtg_tpu.models.flashvtg import FlashVTGModel
 from flashvtg_tpu.train.config import ExperimentConfig
 from flashvtg_tpu.train.infer import run_hl_inference, run_mr_inference
 from flashvtg_tpu.utils.io import AverageMeter, save_json, save_jsonl
