@@ -28,7 +28,7 @@ import functools
 import logging
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,14 +43,6 @@ from flashvtg_tpu.train.infer import run_hl_inference, run_mr_inference
 from flashvtg_tpu.utils.io import AverageMeter, save_json, save_jsonl
 
 logger = logging.getLogger(__name__)
-
-
-@dataclasses.dataclass
-class TrainState:
-    params: Any
-    opt_state: Any
-    step: int
-    epoch: int
 
 
 def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
