@@ -163,11 +163,13 @@ def binary_ap(y_true: np.ndarray, y_score: np.ndarray, interpolate: bool = True)
     uniq = set(np.unique(y_true).tolist())
     if len(uniq) == 1:
         return 0 if y_true.flat[0] == 0 else 1
-    try:  # prefer sklearn when present: bit-identical to the oracle
-        from sklearn.metrics import precision_recall_curve as prc
-        precision, recall, _ = prc(y_true, y_score)
-    except ImportError:
-        precision, recall, _ = _precision_recall_curve(y_true, y_score)
+    # the numpy replica is bit-identical to sklearn's
+    # precision_recall_curve (pinned by tests/test_metrics_golden.py fuzz)
+    # and ~50x faster per call: sklearn spends most of each call in input
+    # re-validation, which dominated full-val eval (12k calls -> ~15 s)
+    precision, recall, _ = _precision_recall_curve(
+        y_true.astype(np.float64), y_score.astype(np.float64)
+    )
     recall = recall.astype(np.float32)
     if interpolate:
         precision = np.maximum.accumulate(precision)

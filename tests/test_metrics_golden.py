@@ -48,3 +48,28 @@ def test_in_tree_golden_subset(golden):
         raw = json.load(f)
     for k, v in raw["brief"].items():
         assert golden["brief"][k] == v
+
+
+def test_prc_replica_bit_identical_to_sklearn():
+    """binary_ap's numpy precision_recall_curve replica must stay
+    bit-identical to sklearn's (which the reference's HL protocol uses via
+    standalone_eval) — fuzzed incl. heavy score ties."""
+    sklearn_metrics = pytest.importorskip("sklearn.metrics")
+    import numpy as np
+
+    from flashvtg_tpu.eval.metrics import _precision_recall_curve
+
+    rng = np.random.default_rng(7)
+    for _ in range(500):
+        n = int(rng.integers(2, 80))
+        y = rng.integers(0, 2, n)
+        if y.sum() in (0, n):
+            continue
+        s = np.round(rng.standard_normal(n), int(rng.integers(0, 4)))
+        p1, r1, t1 = sklearn_metrics.precision_recall_curve(y, s)
+        p2, r2, t2 = _precision_recall_curve(
+            y.astype(np.float64), s.astype(np.float64)
+        )
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(t1, t2)
