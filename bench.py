@@ -98,46 +98,40 @@ def bench_tpu():
             }
         )
 
-    def run():
-        # dispatch everything, then fetch in order: fetches of early batches
-        # overlap device compute of later ones (jax dispatch is async)
-        inflight = [step(params, dev, strict_dev) for dev in batches]
-        # host fetch = completion fence (block_until_ready does not fence on
-        # tunneled targets)
-        return [np.asarray(scores) for _, scores, _, _ in inflight]
+    def timed_qps(eval_step, iters):
+        """Dispatch everything, then fetch in order: fetches of early
+        batches overlap device compute of later ones (jax dispatch is
+        async); the host fetch is the completion fence (block_until_ready
+        does not fence on tunneled targets). First call compiles."""
 
-    log(f"devices: {jax.devices()}")
-    t0 = time.perf_counter()
-    run()  # includes (slow, remote) compile
-    log(f"warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
+        def run():
+            inflight = [eval_step(params, dev, strict_dev) for dev in batches]
+            return [np.asarray(scores) for _, scores, _, _ in inflight]
 
-    best = float("inf")
-    for _ in range(3):
         t0 = time.perf_counter()
         run()
-        best = min(best, time.perf_counter() - t0)
-    qps = N_QUERIES / best
-    log(f"tpu ({cfg.eval_precision}): {N_QUERIES} queries in {best:.4f}s "
-        f"-> {qps:.1f} q/s")
+        warm = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return N_QUERIES / best, warm
+
+    log(f"devices: {jax.devices()}")
+    qps, warm = timed_qps(step, iters=3)
+    log(f"warmup (incl. compile): {warm:.2f}s")
+    log(f"tpu ({cfg.eval_precision}): {N_QUERIES} queries at {qps:.1f} q/s")
 
     # side measurements (stderr only): MXU precision headroom for serving
     # deployments that accept lower-precision matmuls. The headline number
     # stays float32 — the parity-gated mode.
     for prec in ("tensorfloat32", "bfloat16"):
         try:
-            pstep = make_eval_step(model, cfg.max_num_moment, prec)
-
-            def prun():
-                inflight = [pstep(params, dev, strict_dev) for dev in batches]
-                return [np.asarray(s) for _, s, _, _ in inflight]
-
-            prun()  # compile
-            bp = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                prun()
-                bp = min(bp, time.perf_counter() - t0)
-            log(f"tpu ({prec}, serving headroom): {N_QUERIES / bp:.1f} q/s")
+            pqps, _ = timed_qps(
+                make_eval_step(model, cfg.max_num_moment, prec), iters=2
+            )
+            log(f"tpu ({prec}, serving headroom): {pqps:.1f} q/s")
         except Exception as e:
             log(f"{prec} side-measurement skipped: {e!r}")
     return qps

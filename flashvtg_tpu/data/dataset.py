@@ -284,8 +284,9 @@ class VTGDataset:
         # TVSum clips beyond the annotated label rows are dropped — this is
         # deterministic (len of meta["label"]) and must live in the FEATURE
         # path so feed-resident features/masks match the streamed ones
-        # (reference: label-length truncation after TEF concat)
-        if cfg.dset_name == "tvsum" and self.use_video and "label" in meta:
+        # (reference: label-length truncation after TEF concat). Applies to
+        # the tef-only ctx_mode too: video_feat is then the TEF tensor.
+        if cfg.dset_name == "tvsum" and "video_feat" in out and "label" in meta:
             n = min(len(meta["label"]), cfg.max_v_l, len(out["video_feat"]))
             out["video_feat"] = out["video_feat"][:n]
         return out

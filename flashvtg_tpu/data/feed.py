@@ -29,14 +29,18 @@ logger = logging.getLogger(__name__)
 
 FEED_KEYS = ("src_vid", "src_vid_mask", "src_txt", "src_txt_mask")
 
-# bytes of feed tensors already resident in HBM this process — train and
-# eval feeds coexist during in-training eval, so the budget is SHARED:
-# callers gate on `estimate <= budget - resident_feed_bytes()`
-_RESIDENT_BYTES = 0
+# feeds resident in HBM this process — train and eval feeds coexist during
+# in-training eval, so the budget is SHARED: callers gate on
+# `estimate <= budget - resident_feed_bytes()`. Tracked via weakrefs to one
+# representative device array per feed, so a feed freed by GC (e.g. a
+# finished train() in a sweep) releases its budget share automatically.
+_LIVE_FEEDS: list = []  # (weakref to a feed array, total bytes)
 
 
 def resident_feed_bytes() -> int:
-    return _RESIDENT_BYTES
+    global _LIVE_FEEDS
+    _LIVE_FEEDS = [(r, b) for r, b in _LIVE_FEEDS if r() is not None]
+    return sum(b for _, b in _LIVE_FEEDS)
 
 
 def estimate_feed_bytes(n: int, max_v_l: int, v_dim: int, max_q_l: int,
@@ -85,10 +89,11 @@ def build_device_feed(
             jax.device_put(v, sharding) if sharding is not None
             else jax.device_put(v)
         )
-    global _RESIDENT_BYTES
-    _RESIDENT_BYTES += total
+    import weakref
+
+    _LIVE_FEEDS.append((weakref.ref(next(iter(feed.values()))), total))
     logger.info(
         "device feed: %d rows, %.2f GB resident in HBM (%.2f GB total)",
-        n, total / 2**30, _RESIDENT_BYTES / 2**30,
+        n, total / 2**30, resident_feed_bytes() / 2**30,
     )
     return feed

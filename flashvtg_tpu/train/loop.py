@@ -36,7 +36,7 @@ import numpy as np
 import optax
 
 from flashvtg_tpu.data.collate import Collator, device_arrays
-from flashvtg_tpu.data.dataset import DataConfig, VTGDataset
+from flashvtg_tpu.data.dataset import DataConfig, VTGDataset, strip_vid_suffix
 from flashvtg_tpu.losses.criterion import compute_losses, loss_keys, weighted_total
 from flashvtg_tpu.train.config import ExperimentConfig
 from flashvtg_tpu.train.infer import run_hl_inference, run_mr_inference
@@ -326,18 +326,56 @@ def load_adapter(cfg: ExperimentConfig, params):
     return merge_partial_params(params, loaded)
 
 
+def global_real_neg_mask(global_vids, shuffled_rows, step: int,
+                         local_bsz: int, pc: int, me: int) -> np.ndarray:
+    """This host's slice of the negative-pair indicator for one GLOBAL batch.
+
+    The model's negative pass rolls the assembled global batch
+    (models/flashvtg.py jnp.roll over axis 0), whose layout is
+    host-contiguous blocks (build_mesh_for). A per-host roll would mark the
+    block-boundary rows wrong, so the mask is computed over the full global
+    row order — reconstructible on every host from the shared shuffle."""
+    from flashvtg_tpu.parallel.mesh import shard_rows_for_host
+
+    g_rows = np.concatenate([
+        shard_rows_for_host(shuffled_rows, p, pc)[
+            step * local_bsz : (step + 1) * local_bsz
+        ]
+        for p in range(pc)
+    ])
+    base = [global_vids[j] for j in g_rows]
+    rolled = base[1:] + base[:1]
+    gmask = np.asarray([a != b for a, b in zip(base, rolled)], np.float32)
+    return gmask[me * local_bsz : (me + 1) * local_bsz]
+
+
 def build_mesh_for(bsz: int, devices=None):
-    """Data-parallel mesh over the largest local-device count dividing bsz
-    (None when that is a single device)."""
+    """Data-parallel mesh over the most devices whose count divides bsz
+    (None when that is a single device).
+
+    Multi-host: every process must contribute the SAME number of mesh
+    devices (each ships bsz/process_count rows of the global batch), and
+    hosts are laid out CONTIGUOUSLY along the data axis so the global batch
+    is [host0 rows..., host1 rows, ...] — the layout the per-step global
+    real_neg_mask computation assumes."""
     from flashvtg_tpu.parallel.mesh import make_mesh
 
     devices = list(devices if devices is not None else jax.devices())
-    data = max(
-        (d for d in range(1, len(devices) + 1) if bsz % d == 0), default=1
+    by_proc: Dict[int, list] = {}
+    for d in devices:
+        by_proc.setdefault(getattr(d, "process_index", 0), []).append(d)
+    pc = len(by_proc)
+    per_host_cap = min(len(v) for v in by_proc.values())
+    k = max(
+        (j for j in range(1, per_host_cap + 1) if bsz % (j * pc) == 0),
+        default=0,
     )
-    if data <= 1:
+    if k * pc <= 1:
         return None
-    return make_mesh(devices[:data], data=data, model=1)
+    ordered = []
+    for p in sorted(by_proc):
+        ordered.extend(by_proc[p][:k])
+    return make_mesh(ordered, data=k * pc, model=1)
 
 
 def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
@@ -533,6 +571,15 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     )
 
     all_rows = np.arange(len(train_dataset))
+    # multi-host negative-pair mask: the model rolls the assembled GLOBAL
+    # batch (models/flashvtg.py jnp.roll), so the "rolled video differs"
+    # indicator must be computed over the global row order, not per host.
+    # Every host derives the same shuffle (same seed) and the same per-host
+    # striding, so each can reconstruct the global order locally.
+    _strip = (
+        strip_vid_suffix if cfg.dset_name in ("hl",) else (lambda v: v)
+    )
+    global_vids = [_strip(r["vid"]) for r in train_dataset.data]
     shuffler = np.random.default_rng(cfg.seed)
     # NOTE: params/opt_state buffers are donated to epoch_step, so stale
     # references (e.g. "best_params = params") would dangle; the best state
@@ -574,6 +621,11 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
                     continue
                 batch = step_collator([train_dataset[j] for j in idx])
                 host_batch = device_arrays(batch)
+                if pc > 1 and "real_neg_mask" in host_batch:
+                    host_batch["real_neg_mask"] = global_real_neg_mask(
+                        global_vids, all_rows, i, local_bsz, pc,
+                        jax.process_index(),
+                    )
                 rng, sub = jax.random.split(rng)
                 if feed is not None:
                     # HBM-resident features: ship labels + row indices only

@@ -157,3 +157,34 @@ def test_train_auto_mesh_default(tmp_path):
     assert build_mesh_for(12).shape["data"] == 6
     # bsz=1: single device -> no mesh
     assert build_mesh_for(1) is None
+
+
+def test_global_real_neg_mask_across_host_blocks():
+    """The negative-pair mask must follow the GLOBAL batch roll across
+    host-contiguous blocks — a per-host roll would mislabel boundary rows."""
+    from flashvtg_tpu.train.loop import global_real_neg_mask
+
+    # 8 dataset rows; vids such that some neighbors repeat
+    vids = ["a", "a", "b", "c", "c", "d", "e", "e"]
+    rows = np.arange(8)  # unshuffled for clarity
+    pc, local_bsz, step = 2, 4, 0
+    # host 0 rows: 0,2,4,6  host 1 rows: 1,3,5,7
+    # global order: [0,2,4,6, 1,3,5,7] -> vids [a,b,c,e, a,c,d,e]
+    g_vids = ["a", "b", "c", "e", "a", "c", "d", "e"]
+    rolled = g_vids[1:] + g_vids[:1]
+    expect = np.asarray(
+        [x != y for x, y in zip(g_vids, rolled)], np.float32
+    )
+    m0 = global_real_neg_mask(vids, rows, step, local_bsz, pc, 0)
+    m1 = global_real_neg_mask(vids, rows, step, local_bsz, pc, 1)
+    np.testing.assert_array_equal(np.concatenate([m0, m1]), expect)
+    # boundary rows: global row 3 (vid e) vs row 4 (vid a) -> 1;
+    # global last row (vid e) wraps to first (vid a) -> 1
+    assert m0[-1] == 1.0 and m1[-1] == 1.0
+    # same-vid neighbor inside host 1's block: rows 3->5 are c,c? order is
+    # [1,3,5,7] = a,c,d,e — verify a boundary same-vid case explicitly:
+    vids2 = ["a", "z", "b", "c", "c", "d", "z", "e"]
+    # host0 block [0,2,4,6]=a,b,c,z ; host1 block [1,3,5,7]=z,c,d,e
+    # boundary: host0 last (z) vs host1 first (z) -> NOT a real negative
+    m0b = global_real_neg_mask(vids2, rows, step, local_bsz, pc, 0)
+    assert m0b[-1] == 0.0
