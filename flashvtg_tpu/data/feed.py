@@ -56,13 +56,17 @@ def build_device_feed(
     sharding=None,
     dtype: Optional[str] = None,
     chunk: int = 256,
+    workers: int = 8,
 ) -> Dict[str, object]:
     """Collate the whole dataset and place the feature tensors on device.
 
     Returns {key: device array of shape (N, ...)} for FEED_KEYS. `sharding`
     (usually replicated over the mesh) applies to every tensor; `dtype`
     optionally narrows the two feature tensors (e.g. "bfloat16" halves HBM
-    and the one-time transfer).
+    and the one-time transfer). The per-sample feature loads (disk + parse +
+    l2norm; the C++ loader releases the GIL) are warmed by a thread pool —
+    each index is touched by exactly one worker, so the dataset's feature
+    cache sees no write races.
     """
     import jax
 
@@ -70,6 +74,13 @@ def build_device_feed(
     # features only: must NOT consume the dataset's label-sampling RNG
     # stream (labels are re-drawn per access, reference semantics)
     get = getattr(dataset, "features_only", dataset.__getitem__)
+    if workers > 1 and n > workers:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            # consume the iterator: warms the cache, results discarded
+            for _ in ex.map(get, range(n)):
+                pass
     host: Dict[str, np.ndarray] = {}
     for start in range(0, n, chunk):
         idx = range(start, min(start + chunk, n))
