@@ -446,6 +446,21 @@ PRESETS = {
         eval_path="data/tvsum/tvsum_val.jsonl",
         **_HD_LOSSES,
     ),
+    # FlashVTG_ms on YouTube-HL (no shipped reference script; mirrors the
+    # youtube_uni hyper-parameters + FlashVTG_ms/config.py:135-153 defaults)
+    "youtube_uni_ms": dict(
+        dset_name="youtube_uni", variant="ms", v_feat_dim=2816,
+        t_feat_dim=512, bsz=4, max_v_l=1000, max_q_l=32, eval_epoch=1,
+        eval_bsz=4, enc_layers=3, t2v_layers=2, dummy_layers=2,
+        num_dummies=3, kernel_size=5, num_conv_layers=2, num_mlp_layers=3,
+        lw_cls=0.6, lw_sal=0.5, lw_saliency=0.7, label_loss_coef=5.0,
+        n_epoch=5, lr_drop=2000, max_es_cnt=-1, lr=2e-4, clip_length=1.0,
+        use_neg=True,
+        num_phrase=3, phrase_layers=2, context_layers=2, rank=32, t_sa=2,
+        train_path="data/youtube_uni/youtube_train.jsonl",
+        eval_path="data/youtube_uni/youtube_valid.jsonl",
+        **_HD_LOSSES,
+    ),
     # scripts/youtube_uni/train.sh (HD task)
     "youtube_uni": dict(
         dset_name="youtube_uni", v_feat_dim=2816, t_feat_dim=512, bsz=4,

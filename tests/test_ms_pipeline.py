@@ -119,3 +119,32 @@ def test_ms_train_step(env):
         if p0 is None:
             p0 = losses["weighted_loss_overall"]
     assert losses["weighted_loss_overall"] < p0
+
+
+def test_ms_full_train_loop(env, tmp_path):
+    """The PRODUCTION train() handles the _ms variant end-to-end on the HD
+    task (feed + donated buffered steps + HL eval + checkpoints)."""
+    from flashvtg_tpu.train.loop import train
+
+    root = env
+    cfg = from_preset(
+        "tvsum_ms",
+        v_feat_dim=V_DIM, t_feat_dim=T_DIM, max_v_l=48, max_q_l=8,
+        dset_domain="BK", hidden_dim=16, dim_feedforward=32, t2v_layers=1,
+        enc_layers=1, dummy_layers=1, num_dummies=2, num_mlp_layers=2,
+        num_conv_layers=1, num_phrase=2, phrase_layers=1, context_layers=1,
+        t_sa=1, rank=4, bsz=2, eval_bsz=2, n_epoch=2, eval_epoch=1,
+        train_precision="float32", eval_precision="float32",
+        v_feat_dirs=(str(root / "vid"),), t_feat_dir=str(root / "txt"),
+        train_path=str(root / "val.jsonl"), eval_path=str(root / "val.jsonl"),
+        results_root=str(tmp_path / "results"), use_tensorboard=False,
+    )
+    params, score, run_dir = train(
+        cfg, results_dir=str(tmp_path / "run_ms")
+    )
+    assert np.isfinite(score)
+    for leaf in jax.tree.leaves(params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    import os
+
+    assert os.path.exists(os.path.join(run_dir, "model_latest"))
