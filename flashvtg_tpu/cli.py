@@ -138,9 +138,18 @@ def main(argv=None):
         loss_cfg = (
             cfg.ms_loss_config() if cfg.variant == "ms" else cfg.loss_config()
         )
+        # data-parallel eval over all local chips whose count divides
+        # eval_bsz (mirrors the production train() mesh policy)
+        from flashvtg_tpu.train.loop import build_mesh_for
+
+        mesh = build_mesh_for(cfg.eval_bsz)
+        if mesh is not None:
+            from flashvtg_tpu.parallel.mesh import replicate_params
+
+            params = replicate_params(mesh, params)
         metrics, metrics_nms, eval_losses = evaluate(
             cfg, model, params, dataset, results_dir, tag="infer",
-            loss_cfg=loss_cfg,
+            loss_cfg=loss_cfg, mesh=mesh,
         )
         if eval_losses:
             print("eval losses:", {k: round(v, 4) for k, v in eval_losses.items()})

@@ -36,6 +36,37 @@ from flashvtg_tpu.ops.nms import suppress_overlaps
 PIPELINE_DEPTH = 4
 
 
+def _eval_shardings(mesh):
+    """(data-axis sharding, replicated sharding) for sharded eval, or
+    (None, None) when no mesh (or a trivial one) is given. Eval is
+    embarrassingly data-parallel: batches shard over the mesh's "data" axis
+    exactly like training batches, params/feed stay replicated, and each
+    chip decodes its rows — the reference is locked to bsz=1 on one GPU
+    (model.py:248)."""
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
+        return None, None
+    from flashvtg_tpu.parallel.mesh import data_axis_sharding, replicated
+
+    return data_axis_sharding(mesh), replicated(mesh)
+
+
+def _batch_putter(data_sh):
+    """Returns put(arrs) placing a dict of batch-leading arrays: sharded
+    over the data axis when every row count divides the mesh, else local.
+    (Tail buckets smaller than the mesh fall back to one device — they are
+    separately-compiled programs anyway.)"""
+
+    def put(arrs):
+        if data_sh is not None:
+            n_data = data_sh.mesh.shape["data"]
+            rows = {np.shape(v)[0] for v in arrs.values()}
+            if all(r % n_data == 0 for r in rows):
+                return {k: jax.device_put(v, data_sh) for k, v in arrs.items()}
+        return {k: jnp.asarray(v) for k, v in arrs.items()}
+
+    return put
+
+
 @functools.lru_cache(maxsize=16)
 def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32",
                    saliency_only: bool = False, loss_cfg=None,
@@ -148,12 +179,14 @@ def _batched(dataset: VTGDataset, collator: Collator, bsz: int, order=None):
         yield real, idx, collator([dataset[j] for j in idx])
 
 
-def _maybe_device_feed(cfg, dataset: VTGDataset, fixed_v_len):
+def _maybe_device_feed(cfg, dataset: VTGDataset, fixed_v_len, sharding=None):
     """HBM-resident eval feed (cached on the dataset across eval epochs);
     None when disabled, shapes are bucketed, the dataset applies per-access
     txt_drop (streamed and resident text would then differ), or the set
     exceeds what is LEFT of the shared HBM budget (the training feed may
-    already be resident). Eval feeds always stay float32 (parity mode)."""
+    already be resident). Eval feeds always stay float32 (parity mode).
+    `sharding` (usually replicated over the eval mesh) places the resident
+    tensors on every chip of a data-parallel eval."""
     from flashvtg_tpu.data.feed import (
         build_device_feed,
         estimate_feed_bytes,
@@ -164,7 +197,7 @@ def _maybe_device_feed(cfg, dataset: VTGDataset, fixed_v_len):
         return None
     if dataset.cfg.txt_drop_ratio > 0:
         return None
-    key = (fixed_v_len, cfg.max_q_l)
+    key = (fixed_v_len, cfg.max_q_l, sharding)
     cached = getattr(dataset, "_device_feed_cache", None)
     if cached is not None and cached[0] == key:
         return cached[1]
@@ -179,7 +212,7 @@ def _maybe_device_feed(cfg, dataset: VTGDataset, fixed_v_len):
         max_q_l=cfg.max_q_l, v_buckets=cfg.v_buckets,
         dset_name=cfg.dset_name, fixed_v_len=fixed_v_len,
     )
-    feed = build_device_feed(dataset, collator)
+    feed = build_device_feed(dataset, collator, sharding=sharding)
     dataset._device_feed_cache = (key, feed)
     return feed
 
@@ -230,6 +263,7 @@ def run_mr_inference(
     dataset: VTGDataset,
     nms_thd: Optional[float] = None,
     loss_cfg=None,
+    mesh=None,
 ) -> Tuple[List[dict], Optional[List[dict]], Dict[str, float]]:
     """Produce submission rows (and NMS'd rows) for an MR dataset.
 
@@ -237,10 +271,14 @@ def run_mr_inference(
     evaluated inside the same jitted program and per-batch means are
     aggregated into the returned eval-loss dict (reference parity:
     inference.py:300-306 accumulates criterion losses on the val split).
+    With `mesh`, each batch is sharded over the mesh's "data" axis (params
+    must be replicated over it) so eval runs data-parallel across chips.
     """
     fixed_v_len, order = _eval_plan(cfg, dataset)
     with_losses = loss_cfg is not None and _has_labels(dataset)
-    feed = _maybe_device_feed(cfg, dataset, fixed_v_len)
+    data_sh, rep_sh = _eval_shardings(mesh)
+    put = _batch_putter(data_sh)
+    feed = _maybe_device_feed(cfg, dataset, fixed_v_len, sharding=rep_sh)
     collator = Collator(
         max_q_l=cfg.max_q_l,
         v_buckets=cfg.v_buckets,
@@ -266,16 +304,18 @@ def run_mr_inference(
         if feed is not None:
             from flashvtg_tpu.data.feed import FEED_KEYS
 
-            small = {
+            small = put({
                 k: v for k, v in device_arrays(batch).items()
                 if k not in FEED_KEYS
-            }
-            dev = step(
-                params, small, jnp.asarray(np.asarray(idx, np.int32)),
-                feed, jnp.asarray(strict),
-            )
+            })
+            placed = put({
+                "idx": np.asarray(idx, np.int32), "strict": strict,
+            })
+            dev = step(params, small, placed["idx"], feed, placed["strict"])
         else:
-            dev = step(params, device_arrays(batch), jnp.asarray(strict))
+            placed = put({**device_arrays(batch), "strict": strict})
+            strict_dev = placed.pop("strict")
+            dev = step(params, placed, strict_dev)
         return counts, dev
 
     submission: List[dict] = []
@@ -376,10 +416,13 @@ def apply_nms(submission: List[dict], nms_thd: float, nms_type: str):
     return result
 
 
-def run_hl_inference(cfg, model: FlashVTGModel, params, dataset: VTGDataset):
+def run_hl_inference(cfg, model: FlashVTGModel, params, dataset: VTGDataset,
+                     mesh=None):
     """TVSum / YouTube-HL: per-domain top-5 mAP over predicted saliency."""
     fixed_v_len, order = _eval_plan(cfg, dataset)
-    feed = _maybe_device_feed(cfg, dataset, fixed_v_len)
+    data_sh, rep_sh = _eval_shardings(mesh)
+    put = _batch_putter(data_sh)
+    feed = _maybe_device_feed(cfg, dataset, fixed_v_len, sharding=rep_sh)
     collator = Collator(
         max_q_l=cfg.max_q_l,
         v_buckets=cfg.v_buckets,
@@ -399,15 +442,17 @@ def run_hl_inference(cfg, model: FlashVTGModel, params, dataset: VTGDataset):
         if feed is not None:
             from flashvtg_tpu.data.feed import FEED_KEYS
 
-            small = {
+            small = put({
                 k: v for k, v in device_arrays(batch).items()
                 if k not in FEED_KEYS
-            }
-            return step(
-                params, small, jnp.asarray(np.asarray(idx, np.int32)),
-                feed, jnp.asarray(strict),
-            )
-        return step(params, device_arrays(batch), jnp.asarray(strict))
+            })
+            placed = put({
+                "idx": np.asarray(idx, np.int32), "strict": strict,
+            })
+            return step(params, small, placed["idx"], feed, placed["strict"])
+        placed = put({**device_arrays(batch), "strict": strict})
+        strict_dev = placed.pop("strict")
+        return step(params, placed, strict_dev)
 
     preds, labels = [], []
     for (real, idx, batch), dev in _pipelined(

@@ -196,17 +196,18 @@ def stop_metric(cfg: ExperimentConfig, brief: Dict[str, float]) -> float:
 
 
 def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
-             loss_cfg=None):
+             loss_cfg=None, mesh=None):
     """Eval pass; returns (metrics, metrics_nms, eval_losses). `loss_cfg`
     additionally evaluates the criterion on the eval split (reference logs
-    per-epoch eval losses, inference.py:300-306 + train.py:183-184)."""
+    per-epoch eval losses, inference.py:300-306 + train.py:183-184).
+    `mesh` runs the eval data-parallel (params must be replicated over it)."""
     if cfg.dset_name in ("tvsum", "youtube_uni"):
-        metrics = run_hl_inference(cfg, model, params, eval_dataset)
+        metrics = run_hl_inference(cfg, model, params, eval_dataset, mesh=mesh)
         save_jsonl([metrics], os.path.join(results_dir, f"{tag}_metric.jsonl"))
         return metrics, None, {}
     t0 = time.time()
     submission, submission_nms, eval_losses = run_mr_inference(
-        cfg, model, params, eval_dataset, loss_cfg=loss_cfg
+        cfg, model, params, eval_dataset, loss_cfg=loss_cfg, mesh=mesh
     )
     infer_s = time.time() - t0
     sub_path = os.path.join(
@@ -681,7 +682,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         if eval_dataset is not None and (epoch + 1) % cfg.eval_epoch == 0:
             metrics, _, eval_losses = evaluate(
                 cfg, model, params, eval_dataset, results_dir,
-                loss_cfg=loss_cfg,
+                loss_cfg=loss_cfg, mesh=mesh,
             )
             if eval_losses:
                 writer.write(global_step, eval_losses, prefix="eval/")

@@ -159,6 +159,59 @@ def test_train_auto_mesh_default(tmp_path):
     assert build_mesh_for(1) is None
 
 
+def test_sharded_eval_matches_single_device(tmp_path):
+    """run_mr_inference over the 8-device data mesh must reproduce the
+    single-device submission AND eval losses (data-parallel eval: batches
+    sharded over "data", params/feed replicated)."""
+    from flashvtg_tpu.parallel.mesh import replicate_params
+    from flashvtg_tpu.train.infer import run_mr_inference
+    from flashvtg_tpu.utils.synthetic import make_synthetic_qvh
+    from flashvtg_tpu.train.loop import _dataset_cfg
+    from flashvtg_tpu.data.dataset import VTGDataset
+
+    ann, vdir, qdir = make_synthetic_qvh(
+        str(tmp_path), n_queries=20, v_dim=32, t_dim=24, n_clips=16
+    )
+    cfg = _train_cfg(tmp_path, ann, vdir, qdir, str(tmp_path / "results"))
+    model = cfg.build_model()
+    dataset = VTGDataset(_dataset_cfg(cfg, ann, load_labels=True))
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init, static_argnames="train")(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, cfg.max_q_l, cfg.t_feat_dim)),
+        jnp.ones((1, cfg.max_q_l)),
+        jnp.zeros((1, cfg.max_v_l, cfg.total_v_feat_dim)),
+        jnp.ones((1, cfg.max_v_l)),
+        train=False,
+    )
+    loss_cfg = cfg.loss_config()
+
+    sub1, _, losses1 = run_mr_inference(
+        cfg, model, params, dataset, loss_cfg=loss_cfg, mesh=None
+    )
+    dataset._device_feed_cache = None  # rebuild the feed under the mesh
+    mesh = make_mesh(jax.devices(), data=8, model=1)
+    sub8, _, losses8 = run_mr_inference(
+        cfg, model, replicate_params(mesh, params), dataset,
+        loss_cfg=loss_cfg, mesh=mesh,
+    )
+    assert [s["qid"] for s in sub1] == [s["qid"] for s in sub8]
+    for a, b in zip(sub1, sub8):
+        np.testing.assert_allclose(
+            np.asarray(a["pred_relevant_windows"], np.float32),
+            np.asarray(b["pred_relevant_windows"], np.float32),
+            rtol=0, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["pred_saliency_scores"], np.float32),
+            np.asarray(b["pred_saliency_scores"], np.float32),
+            rtol=0, atol=1e-3,
+        )
+    assert set(losses1) == set(losses8)
+    for k in losses1:  # cross-device reduction order perturbs f32 sums
+        np.testing.assert_allclose(losses1[k], losses8[k], rtol=2e-3, atol=1e-5)
+
+
 def test_global_real_neg_mask_across_host_blocks():
     """The negative-pair mask must follow the GLOBAL batch roll across
     host-contiguous blocks — a per-host roll would mislabel boundary rows."""
