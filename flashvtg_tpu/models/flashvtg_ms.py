@@ -118,7 +118,7 @@ class FlashVTGMSModel(nn.Module):
             cfg.context_layers, cfg.nheads, cfg.dropout, cfg.num_phrase,
             cfg.rank, name="phrase_context",
         )
-        context_agg, context_emb_out = phrase_context(
+        context_agg, context_emb_out, context_refine = phrase_context(
             phrase_emb, vid, src_vid_mask, deterministic=det
         )
 
@@ -224,6 +224,12 @@ class FlashVTGMSModel(nn.Module):
             "slot_att": slot_attn,
             "gate": gate,
             "context_agg": context_agg,
+            # per-phrase context maps for tools/visualize --phrase (the
+            # reference's context_emb_out / context_refine_out exports,
+            # FlashVTG_ms/model.py via tools/visualize_phrase.py:194-195);
+            # XLA-DCE'd on train/eval paths
+            "context_emb": context_emb_out,
+            "context_refine": context_refine,
             "vid_emb": vid_emb,
             "dummy_tokens": dummy_refreshed,
         }
@@ -246,7 +252,7 @@ class FlashVTGMSModel(nn.Module):
             # rolled phrase slots drive a negative context; rolled dummy+glob
             # drive a negative trunk pass (:294-332); static shapes + mask
             phrase_neg = jnp.roll(phrase_emb, -1, axis=0)
-            context_agg_neg, _ = phrase_context(
+            context_agg_neg, _, _ = phrase_context(
                 phrase_neg, vid, src_vid_mask, deterministic=det
             )
             txt_d_neg = jnp.roll(txt_d, -1, axis=0)

@@ -216,7 +216,10 @@ class PhraseContextLayer(nn.Module):
 
 class PhraseContext(nn.Module):
     """Hadamard maps -> temporal SA per phrase -> dynamic conv aggregation
-    (LGI.py:387-424). Returns (context_agg (B,T,C), context maps)."""
+    (LGI.py:387-424). Returns (context_agg (B,T,C), raw context maps
+    (B,N,T,C), refined per-phrase maps (B,N,T,C)) — the raw/refined pair
+    matches the reference's context_emb_out / context_refine_out exports
+    consumed by tools/visualize_phrase.py:194-195."""
 
     num_layers: int
     num_heads: int
@@ -238,12 +241,13 @@ class PhraseContext(nn.Module):
             x = PhraseContextLayer(
                 self.num_heads, self.dropout, name=f"layer{i}"
             )(x, mask_rep, deterministic)
-        x = x.reshape(b, n, t, c).transpose(0, 2, 1, 3)  # (B, T, N, C)
+        refined = x.reshape(b, n, t, c)  # (B, N, T, C)
+        x = refined.transpose(0, 2, 1, 3)  # (B, T, N, C)
         agg = LowRankDynamicConv(
             self.num_phrase, self.rank, self.t_kernels, self.dropout,
             name="local_context",
         )(x, phrase_slot, deterministic)
-        return agg, context_out
+        return agg, context_out, refined
 
 
 class TSALayer(nn.Module):

@@ -152,9 +152,19 @@ def export_attention_maps(ckpt: str, gt_path: str, qid):
         "t2vattnvalues": np.asarray(out["t2vattnvalues"])[0, :lv],
         "saliency": np.asarray(out["saliency_scores"])[0, :lv],
     }
-    for k in ("gate", "word_video_attn", "slot_att"):  # _ms-only exports
+    lw = max(lq - 1, 1)  # _ms word stream = text tokens minus the EOS slot
+    ms_slices = {
+        "gate": (np.s_[0, :lw]),  # (Lw,) word entropy gate
+        "slot_att": (np.s_[0, :, :lw]),  # (N, Lw) phrase-slot word attention
+        "word_video_attn": (np.s_[0, :lw, :lv]),  # (Lw, Lv)
+        "context_emb": (np.s_[0, :, :lv]),  # (N, Lv, C) Hadamard maps
+        "context_refine": (np.s_[0, :, :lv]),  # (N, Lv, C) post-SA maps
+        "context_agg": (np.s_[0, :lv]),  # (Lv, C) dynamic-conv aggregate
+        "vid_emb": (np.s_[0, :lv]),  # (Lv, C) transformer video embedding
+    }
+    for k, sl in ms_slices.items():  # _ms-only exports
         if k in out:
-            maps[k] = np.asarray(out[k])[0]
+            maps[k] = np.asarray(out[k])[sl]
     return maps, dataset.data[idx], lv
 
 
@@ -203,6 +213,66 @@ def plot_attention_bundle(maps, meta, out_path, clip_length: float):
     return out_path
 
 
+def plot_phrase_bundle(maps, meta, out_path, clip_length: float):
+    """Phrase-pipeline figure for the _ms variant (replaces the reference's
+    tools/visualize_phrase.py + vis_utils.visualize_phrase_and_context
+    without their hard-coded author paths / LLaMA tokenizer): phrase-slot
+    word attention, the entropy word gate, per-phrase context activation
+    before and after the temporal self-attention, and the aggregated
+    context vs the transformer video embedding with GT windows."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(5, 1, figsize=(12, 14))
+
+    ax = axes[0]
+    im = ax.imshow(maps["slot_att"], aspect="auto", cmap="viridis")
+    ax.set_title(
+        f"qid {meta['qid']} phrase-slot word attention: "
+        f"{meta.get('query', '')[:80]}"
+    )
+    ax.set_ylabel("phrase")
+    ax.set_xlabel("word token")
+    fig.colorbar(im, ax=ax, fraction=0.025)
+
+    ax = axes[1]
+    ax.bar(np.arange(len(maps["gate"])), maps["gate"], color="tab:blue")
+    ax.set_title("entropy word gate (1 - normalized word->video entropy)")
+    ax.set_xlabel("word token")
+    ax.set_ylim(0, 1)
+
+    # per-phrase context activation over time: mean |channel| per clip
+    t = np.arange(maps["context_emb"].shape[1]) * clip_length
+    for ax, key, title in (
+        (axes[2], "context_emb", "per-phrase context activation (Hadamard maps)"),
+        (axes[3], "context_refine", "per-phrase context activation (refined)"),
+    ):
+        act = np.abs(maps[key]).mean(-1)  # (N, Lv)
+        im = ax.imshow(
+            act, aspect="auto", cmap="magma",
+            extent=[t[0], t[-1] + clip_length, act.shape[0] - 0.5, -0.5],
+        )
+        ax.set_title(title)
+        ax.set_ylabel("phrase")
+        fig.colorbar(im, ax=ax, fraction=0.025)
+
+    ax = axes[4]
+    ax.plot(t, np.abs(maps["context_agg"]).mean(-1), label="context_agg", lw=1.5)
+    ax.plot(t, np.abs(maps["vid_emb"]).mean(-1), label="vid_emb", lw=1.5)
+    for w in meta.get("relevant_windows") or []:
+        ax.axvspan(w[0], w[1], color="tab:green", alpha=0.25)
+    ax.legend(loc="upper right")
+    ax.set_xlabel("time (s)")
+    ax.set_title("aggregated context vs video embedding (GT windows shaded)")
+
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def main(argv=None):
     from flashvtg_tpu.utils.runtime import setup
 
@@ -217,6 +287,10 @@ def main(argv=None):
         "--attention", action="store_true",
         help="also render the model's attention maps (needs --ckpt)",
     )
+    parser.add_argument(
+        "--phrase", action="store_true",
+        help="render the _ms phrase-pipeline maps (needs an _ms --ckpt)",
+    )
     parser.add_argument("--ckpt", help="checkpoint dir (orbax) or torch .ckpt")
     args = parser.parse_args(argv)
 
@@ -229,16 +303,25 @@ def main(argv=None):
         plot_query(preds[qid], gts.get(qid, {}), args.out, args.clip_length)
         print(args.out)
 
-    if args.attention:
+    if args.attention or args.phrase:
         if not args.ckpt:
-            raise SystemExit("--attention requires --ckpt")
+            raise SystemExit("--attention/--phrase require --ckpt")
         import os
 
         maps, meta, _ = export_attention_maps(args.ckpt, args.gt, qid)
         root, ext = os.path.splitext(args.out)
-        attn_out = f"{root}_attn{ext or '.png'}"
-        plot_attention_bundle(maps, meta, attn_out, args.clip_length)
-        print(attn_out)
+        if args.attention:
+            attn_out = f"{root}_attn{ext or '.png'}"
+            plot_attention_bundle(maps, meta, attn_out, args.clip_length)
+            print(attn_out)
+        if args.phrase:
+            if "context_emb" not in maps:
+                raise SystemExit(
+                    "--phrase needs an _ms checkpoint (no phrase exports found)"
+                )
+            phrase_out = f"{root}_phrase{ext or '.png'}"
+            plot_phrase_bundle(maps, meta, phrase_out, args.clip_length)
+            print(phrase_out)
 
 
 if __name__ == "__main__":

@@ -80,3 +80,45 @@ def test_export_attention_shapes(env):
     assert maps["token_attention"].shape[0] == lv
     assert maps["t2vattnvalues"].shape == (lv,)
     assert np.all(np.isfinite(maps["token_attention"]))
+
+
+def test_phrase_maps_png(tmp_path):
+    """--phrase renders the _ms phrase-pipeline bundle (reference
+    tools/visualize_phrase.py equivalent) from an _ms checkpoint."""
+    ann, vdir, qdir = make_synthetic_qvh(
+        str(tmp_path), n_queries=3, v_dim=16, t_dim=12, n_clips=16
+    )
+    cfg = from_preset(
+        "qvhighlights_slowclip",
+        variant="ms", num_phrase=2, phrase_layers=1, context_layers=1,
+        rank=8, t_sa=1,
+        v_feat_dim=16, t_feat_dim=12, max_v_l=16, max_q_l=12,
+        hidden_dim=16, dim_feedforward=32, t2v_layers=1, enc_layers=1,
+        dummy_layers=1, num_dummies=2, num_mlp_layers=2, num_conv_layers=1,
+        train_path=ann, eval_path=ann, v_feat_dirs=(vdir,), t_feat_dir=qdir,
+    )
+    model = cfg.build_model()
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init, static_argnames="train")(
+        {"params": rng},
+        jnp.zeros((1, cfg.max_q_l, 12)), jnp.ones((1, cfg.max_q_l)),
+        jnp.zeros((1, cfg.max_v_l, 18)), jnp.ones((1, cfg.max_v_l)),
+        train=False,
+    )
+    ckpt = str(tmp_path / "run" / "model_best")
+    save_checkpoint(ckpt, params, {"n": np.asarray(0)}, 0, cfg)
+    out = str(tmp_path / "fig3.png")
+    viz_main(["--gt", ann, "--qid", "0", "--out", out,
+              "--phrase", "--ckpt", ckpt])
+    phrase_out = str(tmp_path / "fig3_phrase.png")
+    assert os.path.exists(phrase_out) and os.path.getsize(phrase_out) > 1000
+
+    from flashvtg_tpu.tools.visualize import export_attention_maps
+
+    maps, _, lv = export_attention_maps(ckpt, ann, 0)
+    n = cfg.num_phrase
+    assert maps["context_emb"].shape[:2] == (n, lv)
+    assert maps["context_refine"].shape[:2] == (n, lv)
+    assert maps["slot_att"].shape[0] == n
+    assert maps["context_agg"].shape[0] == lv
+    assert np.all(np.isfinite(maps["context_refine"]))
