@@ -73,3 +73,24 @@ def test_prc_replica_bit_identical_to_sklearn():
         np.testing.assert_array_equal(p1, p2)
         np.testing.assert_array_equal(r1, r2)
         np.testing.assert_array_equal(t1, t2)
+
+
+def test_binary_ap_columns_matches_per_column():
+    """The shared-sort multi-column AP (one sort per query in the HL
+    protocol) must be bit-identical to per-column binary_ap — fuzzed incl.
+    single-valued label columns and heavy score ties."""
+    import numpy as np
+
+    from flashvtg_tpu.eval.metrics import binary_ap, binary_ap_columns
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        n = int(rng.integers(2, 60))
+        k = int(rng.integers(1, 10))
+        mat = rng.integers(0, 2, (k, n)).astype(float)
+        if rng.random() < 0.3:  # force some single-valued columns
+            mat[rng.integers(0, k)] = float(rng.integers(0, 2))
+        s = np.round(rng.standard_normal(n), int(rng.integers(0, 3)))
+        got = binary_ap_columns(mat, s)
+        want = np.asarray([binary_ap(mat[j], s) for j in range(k)])
+        np.testing.assert_array_equal(got, want)
