@@ -229,14 +229,31 @@ def compute_mr_ap(
     for d in ground_truth:
         gt_by_qid[d["qid"]].extend(d["relevant_windows"])
 
-    ap_rows = []
-    for qid, wins in pred_by_qid.items():
-        gts = np.asarray(gt_by_qid[qid], dtype=np.float64).reshape(-1, 2)
-        if len(wins) == 0:
-            ap_rows.append(np.zeros(len(MR_AP_THDS)))
-        else:
-            ap_rows.append(detection_ap(gts, wins[:, :2], wins[:, 2]))
-    ap_thds = np.stack(ap_rows).mean(0)
+    qids = list(pred_by_qid)
+    preds_list = [
+        w.reshape(-1, w.shape[-1])[:, :3] if w.size else np.zeros((0, 3))
+        for w in (pred_by_qid[q] for q in qids)
+    ]
+    gts_list = [
+        np.asarray(gt_by_qid[q], dtype=np.float64).reshape(-1, 2) for q in qids
+    ]
+    # native batched kernel (runtime/mr_ap.cpp, bit-identical — see the
+    # fuzz test); rows it declines fall back to the Python implementation
+    from flashvtg_tpu.runtime import mr_ap_batch
+
+    native = mr_ap_batch(preds_list, gts_list, MR_AP_THDS)
+    if native is not None:
+        ap_mat, handled = native
+    else:
+        ap_mat = np.zeros((len(qids), len(MR_AP_THDS)))
+        handled = np.zeros(len(qids), bool)
+    for i in np.flatnonzero(~handled):
+        wins, gts = preds_list[i], gts_list[i]
+        ap_mat[i] = (
+            detection_ap(gts, wins[:, :2], wins[:, 2])
+            if len(wins) else np.zeros(len(MR_AP_THDS))
+        )
+    ap_thds = ap_mat.mean(0)
     out = {str(t): v for t, v in zip(MR_AP_THDS, ap_thds)}
     out["average"] = float(np.mean(ap_thds))
     return {k: _round2(v) for k, v in out.items()}
@@ -322,9 +339,12 @@ def eval_highlight(submission, ground_truth, verbose=True):
     gt_dense = {d["qid"]: make_gt_saliency(d) for d in ground_truth}
     n_thd = len(_HL_THRESHOLDS)
     # one shared score sort per query feeds all threshold x worker AP
-    # columns (9x fewer sorts than per-(threshold, worker) binary_ap calls)
+    # columns (9x fewer sorts than per-(threshold, worker) binary_ap calls);
+    # all queries then run as ONE native batched call (runtime/mr_ap.cpp
+    # hl_ap_batch, bit-identical) with binary_ap_columns as the fallback
     hits = np.zeros((n_thd, len(preds), 3))
     ap_scores = np.zeros((n_thd, len(preds), 3))
+    scores_list, labels_list = [], []
     for i, (qid, d) in enumerate(preds.items()):
         scores = np.asarray(d["pred_saliency_scores"])
         top = int(np.argmax(scores))
@@ -340,8 +360,16 @@ def eval_highlight(submission, ground_truth, verbose=True):
             if top < len(gt_bin):  # HIT@1: top clip positive for any worker
                 hits[t, i] = gt_bin[top]
             cols.append(gt_bin.T)  # (3 workers, num_clips)
-        ap_all = binary_ap_columns(np.concatenate(cols, axis=0), y_pred)
-        ap_scores[:, i, :] = ap_all.reshape(n_thd, 3)
+        scores_list.append(np.asarray(y_pred, np.float64))
+        labels_list.append(np.concatenate(cols, axis=0))
+    from flashvtg_tpu.runtime import hl_ap_batch
+
+    native = hl_ap_batch(scores_list, labels_list) if preds else None
+    if native is not None:
+        ap_scores = native.reshape(len(preds), n_thd, 3).transpose(1, 0, 2)
+    else:
+        for i, (y_pred, mat) in enumerate(zip(scores_list, labels_list)):
+            ap_scores[:, i, :] = binary_ap_columns(mat, y_pred).reshape(n_thd, 3)
     out = {}
     for t, (_, name) in enumerate(_HL_THRESHOLDS):
         out[f"HL-min-{name}"] = {
