@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 from typing import Optional, Sequence, Tuple
 
 from flashvtg_tpu.losses.criterion import LossConfig
@@ -232,8 +233,35 @@ class ExperimentConfig:
             lw_eos=self.lw_eos,
         )
 
+    # flags that exist only for reference opt.json round-trip compatibility:
+    # each is dead (or crashes) in the reference itself, so no behavior can
+    # depend on them (docs/PARITY.md "dead reference knobs"). Warn when a
+    # user sets one away from its default so the no-op is never silent.
+    _INERT_FLAGS = {
+        # --pre_norm crashes the reference: T2V forward_pre is `pass`
+        # (transformer.py:371-375) and the CATE layer's forward_pre
+        # references attributes that don't exist (:287-300)
+        "pre_norm": False,
+        "eos_coef": 0.1,  # builds an empty_weight buffer nothing reads
+        "conf_thd": 0.0,  # flag defined, never read (config.py:162)
+        "max_before_nms": 50,  # accepted by post_processing_mr_nms, ignored
+        # buffer_size caps the reference's preallocated point buffer
+        # (generator.py:60 assert); our points are generated exactly sized
+        "buffer_size": None,
+    }
+
+    def warn_inert_flags(self):
+        for name, default in self._INERT_FLAGS.items():
+            if default is not None and getattr(self, name) != default:
+                logging.getLogger(__name__).warning(
+                    "--%s is accepted for reference opt.json compatibility "
+                    "but is inert (dead or broken in the reference too — "
+                    "see docs/PARITY.md)", name,
+                )
+
     def build_model(self):
         """Model module for the configured variant."""
+        self.warn_inert_flags()
         if self.variant == "ms":
             from flashvtg_tpu.models.flashvtg_ms import FlashVTGMSModel
 
