@@ -34,6 +34,8 @@ else:
     BSZ, LV, LQ = 64, 75, 32
     V_DIM, T_DIM = 2816, 512
     STEPS = 30
+if len(sys.argv) > 2:  # optional batch override: scaling sweeps
+    BSZ = int(sys.argv[2])
 
 
 def log(*a):

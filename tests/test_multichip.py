@@ -211,6 +211,28 @@ def test_sharded_eval_matches_single_device(tmp_path):
     for k in losses1:  # cross-device reduction order perturbs f32 sums
         np.testing.assert_allclose(losses1[k], losses8[k], rtol=2e-3, atol=1e-5)
 
+    # duration-bucketed eval under the same mesh must reproduce the
+    # single-device BUCKETED run (sharding invariance). Bucketed output is
+    # deliberately NOT compared against the fixed-padding run here: with
+    # videos exactly max_v_l long, fixed padding keeps pyramid levels
+    # adjacent in the concatenated point axis (the conf_head conv reads
+    # across level boundaries like the reference's true-length concat),
+    # while bucket padding inserts a zero gap — a documented divergence
+    # (docs/BUCKETS.md).
+    cfgb = cfg.replace(bucket_eval=True)
+    dataset._device_feed_cache = None
+    sub1b, _, _ = run_mr_inference(cfgb, model, params, dataset, mesh=None)
+    sub8b, _, _ = run_mr_inference(
+        cfgb, model, replicate_params(mesh, params), dataset, mesh=mesh
+    )
+    by_qid = {s["qid"]: s for s in sub8b}
+    assert set(by_qid) == {s["qid"] for s in sub1b}
+    for a in sub1b:
+        w1 = np.asarray(a["pred_relevant_windows"], np.float32)
+        w2 = np.asarray(by_qid[a["qid"]]["pred_relevant_windows"], np.float32)
+        assert w1.shape == w2.shape
+        np.testing.assert_allclose(w1, w2, rtol=0, atol=1e-3)
+
 
 def test_global_real_neg_mask_across_host_blocks():
     """The negative-pair mask must follow the GLOBAL batch roll across
