@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import random
+import threading
 from os.path import join
 from typing import List, Optional, Sequence
 
@@ -128,6 +129,10 @@ class VTGDataset:
         self.use_video = "video" in cfg.ctx_mode
         self.use_glove = bool(cfg.v_feat_dirs) and "vgg" in cfg.v_feat_dirs[0]
         self._glove = None
+        # guards the lazy embedder build: the feed builder warms the feature
+        # cache from a thread pool (data/feed.py), so first-touch must not
+        # load the multi-GB GloVe table once per worker
+        self._glove_lock = threading.Lock()
 
         self.data = load_jsonl(cfg.data_path)
         if cfg.data_ratio != 1:
@@ -258,7 +263,9 @@ class VTGDataset:
         from flashvtg_tpu.data.glove import GloveEmbedder
 
         if self._glove is None:
-            self._glove = GloveEmbedder.default()
+            with self._glove_lock:
+                if self._glove is None:
+                    self._glove = GloveEmbedder.default()
         return self._glove(query)
 
     # -- sample assembly ----------------------------------------------------

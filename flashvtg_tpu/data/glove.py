@@ -56,11 +56,16 @@ class GloveEmbedder:
                 stoi[parts[0]] = len(rows)
                 rows.append(np.asarray(parts[1:], dtype=np.float32))
         vectors = np.stack(rows)
-        # cache for next run
+        # cache for next run — written to temp names and renamed so a
+        # concurrent reader can never see a truncated vocab/vector pair
+        # (os.replace is atomic on the same filesystem)
         try:
-            np.save(npy, vectors)
-            with open(vocab_file, "w") as f:
+            tmp = f".{os.getpid()}.tmp"
+            np.save(npy + tmp, vectors)
+            with open(vocab_file + tmp, "w") as f:
                 f.write("\n".join(stoi))
+            os.replace(npy + tmp + ".npy", npy)  # np.save appends .npy
+            os.replace(vocab_file + tmp, vocab_file)
         except OSError:
             pass
         return cls(stoi, vectors)

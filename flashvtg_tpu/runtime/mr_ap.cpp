@@ -20,6 +20,7 @@
 // Exact float64 arithmetic in the same operation order as the numpy code.
 
 #include <algorithm>
+#include <cmath>
 #include <cstring>
 #include <vector>
 
@@ -102,25 +103,38 @@ long mr_ap_batch(const double* preds, const long* pred_off,
         }
         if (ng == 0 || ng > 15 || np_ > 126) continue;  // python fallback
 
-        // stable descending score order
+        // stable descending score order — np.argsort(-scores, "stable"):
+        // NaN scores (i.e. -NaN) sort last in ascending order, so they come
+        // last here too
         order.resize(np_);
         for (long i = 0; i < np_; i++) order[i] = i;
         std::stable_sort(order.begin(), order.end(), [&](long a, long b) {
-            return preds[(p0 + a) * 3 + 2] > preds[(p0 + b) * 3 + 2];
+            const double sa = preds[(p0 + a) * 3 + 2];
+            const double sb = preds[(p0 + b) * 3 + 2];
+            if (std::isnan(sa)) return false;
+            if (std::isnan(sb)) return true;
+            return sa > sb;
         });
 
-        // IoU matrix in sorted-pred order (same op order as iou_cross)
+        // IoU matrix in sorted-pred order: EXACTLY iou_cross
+        // (metrics.py:41-48) — union = area1 + area2 - inter with a plain
+        // IEEE division, so degenerate zero-length pairs yield 0/0 = NaN
+        // (NOT 0). The NaN then fails every `iou < thd` test below and the
+        // prediction greedily matches — the numpy/reference behavior the
+        // golden files were produced with.
         iou.assign(np_ * ng, 0.0);
         for (long i = 0; i < np_; i++) {
             const double ps = preds[(p0 + order[i]) * 3 + 0];
             const double pe = preds[(p0 + order[i]) * 3 + 1];
+            const double area1 = pe - ps;
             for (long g = 0; g < ng; g++) {
                 const double gs = gts[(g0 + g) * 2 + 0];
                 const double ge = gts[(g0 + g) * 2 + 1];
+                const double area2 = ge - gs;
                 const double inter =
                     std::max(0.0, std::min(pe, ge) - std::max(ps, gs));
-                const double uni = std::max(pe, ge) - std::min(ps, gs);
-                iou[i * ng + g] = (uni != 0.0) ? inter / uni : 0.0;
+                const double uni = (area1 + area2) - inter;
+                iou[i * ng + g] = inter / uni;
             }
         }
 
@@ -130,10 +144,17 @@ long mr_ap_batch(const double* preds, const long* pred_off,
         by_iou.resize(ng);
         for (long i = 0; i < np_; i++) {
             // np.argsort(iou_row)[::-1] with G<=15: stable ascending
-            // insertion sort, reversed -> descending, ties larger-index-first
+            // insertion sort, reversed -> descending, ties larger-index-first.
+            // numpy sorts NaNs to the END of the ascending order (so they
+            // lead the reversed order); a raw `<` on NaNs is not a strict
+            // weak ordering, hence the explicit ranking.
             for (long g = 0; g < ng; g++) by_iou[g] = g;
             std::stable_sort(by_iou.begin(), by_iou.end(), [&](long a, long b) {
-                return iou[i * ng + a] < iou[i * ng + b];
+                const double va = iou[i * ng + a];
+                const double vb = iou[i * ng + b];
+                if (std::isnan(va)) return false;
+                if (std::isnan(vb)) return true;
+                return va < vb;
             });
             std::reverse(by_iou.begin(), by_iou.end());
             for (long t = 0; t < nthds; t++) {

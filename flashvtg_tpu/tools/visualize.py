@@ -22,7 +22,13 @@ from flashvtg_tpu.utils.io import load_jsonl
 
 
 def plot_query(pred_row, gt_row, out_path, clip_length: float = 2.0,
-               max_windows: int = 10):
+               max_windows: int = 10, other_row=None,
+               labels=("pred", "other")):
+    """Saliency curves + moment timelines for one query. With `other_row`
+    (a second submission's row for the same qid) the figure becomes a
+    side-by-side model comparison — the re-design of the reference's
+    tools/visualize_qd.py, which contrasts FlashVTG with QD-DETR
+    predictions from hard-coded author paths."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -39,7 +45,12 @@ def plot_query(pred_row, gt_row, out_path, clip_length: float = 2.0,
     sal = pred_row.get("pred_saliency_scores")
     if sal:
         t = np.arange(len(sal)) * clip_length
-        ax.plot(t, sal, label="predicted saliency", lw=1.5)
+        ax.plot(t, sal, label=f"{labels[0]} saliency", lw=1.5)
+    other_sal = (other_row or {}).get("pred_saliency_scores")
+    if other_sal:
+        t = np.arange(len(other_sal)) * clip_length
+        ax.plot(t, other_sal, label=f"{labels[1]} saliency", lw=1.5,
+                color="tab:red", alpha=0.8)
     if gt_row.get("relevant_clip_ids") and gt_row.get("saliency_scores"):
         n_clips = int(duration / clip_length)
         gt_sal = np.zeros(n_clips)
@@ -55,17 +66,26 @@ def plot_query(pred_row, gt_row, out_path, clip_length: float = 2.0,
     ax.set_title(f"qid {pred_row['qid']}: {pred_row.get('query', '')[:90]}")
     ax.legend(loc="upper right")
 
-    # moment timelines
+    # moment timelines: GT on top, each submission in its own band
     ax = axes[1]
     for w in gt_row.get("relevant_windows") or []:
-        ax.axvspan(w[0], w[1], ymin=0.55, ymax=0.95, color="tab:green",
+        ax.axvspan(w[0], w[1], ymin=0.70, ymax=0.95, color="tab:green",
                    alpha=0.4)
-    wins = pred_row.get("pred_relevant_windows", [])[:max_windows]
-    for rank, (st, ed, score) in enumerate(wins):
-        ax.axvspan(st, ed, ymin=0.05, ymax=0.45, color="tab:blue",
-                   alpha=max(0.15, float(score)))
-    ax.set_yticks([0.25, 0.75])
-    ax.set_yticklabels(["pred", "GT"])
+    bands = [(pred_row, "tab:blue", (0.37, 0.62))]
+    ticks, names = [0.82], ["GT"]
+    if other_row is not None:
+        bands.append((other_row, "tab:red", (0.05, 0.30)))
+        ticks += [0.50, 0.18]
+        names += list(labels)
+    else:
+        ticks += [0.50]
+        names += [labels[0]]
+    for row, color, (lo, hi) in bands:
+        for st, ed, score in row.get("pred_relevant_windows", [])[:max_windows]:
+            ax.axvspan(st, ed, ymin=lo, ymax=hi, color=color,
+                       alpha=max(0.15, min(1.0, float(score))))
+    ax.set_yticks(ticks)
+    ax.set_yticklabels(names)
     ax.set_xlabel("time (s)")
     ax.set_xlim(0, duration)
     fig.tight_layout()
@@ -292,15 +312,33 @@ def main(argv=None):
         help="render the _ms phrase-pipeline maps (needs an _ms --ckpt)",
     )
     parser.add_argument("--ckpt", help="checkpoint dir (orbax) or torch .ckpt")
+    parser.add_argument(
+        "--compare",
+        help="second submission jsonl to overlay (model-vs-model figure, "
+        "replaces tools/visualize_qd.py)",
+    )
+    parser.add_argument(
+        "--labels", nargs=2, default=("pred", "other"),
+        metavar=("NAME1", "NAME2"), help="legend names for --compare",
+    )
     args = parser.parse_args(argv)
 
     qid = str(args.qid)
+    if args.compare and not args.preds:
+        parser.error("--compare requires --preds")
     if args.preds:
         preds = {str(r["qid"]): r for r in load_jsonl(args.preds)}
         gts = {str(r["qid"]): r for r in load_jsonl(args.gt)}
         if qid not in preds:
             raise SystemExit(f"qid {qid} not in predictions")
-        plot_query(preds[qid], gts.get(qid, {}), args.out, args.clip_length)
+        other = None
+        if args.compare:
+            others = {str(r["qid"]): r for r in load_jsonl(args.compare)}
+            if qid not in others:
+                raise SystemExit(f"qid {qid} not in --compare predictions")
+            other = others[qid]
+        plot_query(preds[qid], gts.get(qid, {}), args.out, args.clip_length,
+                   other_row=other, labels=tuple(args.labels))
         print(args.out)
 
     if args.attention or args.phrase:

@@ -243,6 +243,24 @@ def _eval_plan(cfg, dataset: VTGDataset):
     return (cfg.max_v_l if cfg.max_v_l > 0 else None), None
 
 
+def _place_and_step(step, params, put, feed, batch, idx, strict):
+    """Place one collated batch and invoke the jitted eval step — the one
+    spot that knows the feed-mode vs streamed-mode calling conventions
+    (shared by the MR and HL dispatch paths)."""
+    if feed is not None:
+        from flashvtg_tpu.data.feed import FEED_KEYS
+
+        small = put({
+            k: v for k, v in device_arrays(batch).items()
+            if k not in FEED_KEYS
+        })
+        placed = put({"idx": np.asarray(idx, np.int32), "strict": strict})
+        return step(params, small, placed["idx"], feed, placed["strict"])
+    placed = put({**device_arrays(batch), "strict": strict})
+    strict_dev = placed.pop("strict")
+    return step(params, placed, strict_dev)
+
+
 def _pipelined(fn, items, depth: int = PIPELINE_DEPTH):
     """Dispatch fn over items keeping up to `depth` results in flight;
     yields (item, result) in order. fn must only *dispatch* device work —
@@ -301,21 +319,7 @@ def run_mr_inference(
         strict, counts = pyramid_masks_strict(
             batch["valid_v_lens"], lv, cfg.strides
         )
-        if feed is not None:
-            from flashvtg_tpu.data.feed import FEED_KEYS
-
-            small = put({
-                k: v for k, v in device_arrays(batch).items()
-                if k not in FEED_KEYS
-            })
-            placed = put({
-                "idx": np.asarray(idx, np.int32), "strict": strict,
-            })
-            dev = step(params, small, placed["idx"], feed, placed["strict"])
-        else:
-            placed = put({**device_arrays(batch), "strict": strict})
-            strict_dev = placed.pop("strict")
-            dev = step(params, placed, strict_dev)
+        dev = _place_and_step(step, params, put, feed, batch, idx, strict)
         return counts, dev
 
     submission: List[dict] = []
@@ -439,20 +443,7 @@ def run_hl_inference(cfg, model: FlashVTGModel, params, dataset: VTGDataset,
         real, idx, batch = item
         lv = fixed_v_len if feed is not None else batch["src_vid"].shape[1]
         strict, _ = pyramid_masks_strict(batch["valid_v_lens"], lv, cfg.strides)
-        if feed is not None:
-            from flashvtg_tpu.data.feed import FEED_KEYS
-
-            small = put({
-                k: v for k, v in device_arrays(batch).items()
-                if k not in FEED_KEYS
-            })
-            placed = put({
-                "idx": np.asarray(idx, np.int32), "strict": strict,
-            })
-            return step(params, small, placed["idx"], feed, placed["strict"])
-        placed = put({**device_arrays(batch), "strict": strict})
-        strict_dev = placed.pop("strict")
-        return step(params, placed, strict_dev)
+        return _place_and_step(step, params, put, feed, batch, idx, strict)
 
     preds, labels = [], []
     for (real, idx, batch), dev in _pipelined(

@@ -50,7 +50,14 @@ def main():
         strict, _ = pyramid_masks_strict(np.full(batch, LV), LV, cfg.strides)
         strict_dev = jax.device_put(strict)
         batches = []
-        for i in range(0, N_QUERIES, batch):
+        # drop a ragged tail: every dispatched batch must be full-size
+        # (masks/strict are built for `batch` rows)
+        n_full = (N_QUERIES // batch) * batch
+        if n_full == 0:
+            print(f"B={batch}: skipped (exceeds N_QUERIES={N_QUERIES})",
+                  flush=True)
+            continue
+        for i in range(0, n_full, batch):
             sl = slice(i, i + batch)
             batches.append({
                 "src_txt": jax.device_put(src_txt[sl]),
@@ -71,7 +78,7 @@ def main():
             t0 = time.perf_counter()
             run()
             best = min(best, time.perf_counter() - t0)
-        print(f"B={batch:5d}: {N_QUERIES / best:8.1f} q/s "
+        print(f"B={batch:5d}: {n_full / best:8.1f} q/s "
               f"(warm incl compile {warm:.1f}s)", flush=True)
 
 

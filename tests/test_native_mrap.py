@@ -39,6 +39,60 @@ def _random_case(rng, n_queries, max_p=12, max_g=18):
     return preds, gts
 
 
+def _random_case_continuous(rng, n_queries, max_p=12, max_g=15):
+    """Unquantized float windows + injected degenerate zero-length spans:
+    exercises the exact iou_cross arithmetic (union = a1 + a2 - inter, IEEE
+    0/0 = NaN for zero-length pairs -> greedy TP) that 0.5-quantized edges
+    cannot distinguish from hull-denominator variants."""
+    preds, gts = [], []
+    for _ in range(n_queries):
+        p = int(rng.integers(1, max_p + 1))
+        g = int(rng.integers(1, max_g + 1))
+        starts = rng.random(p) * 140.0
+        lens = rng.random(p) * 40.0
+        if rng.random() < 0.5:  # degenerate zero-length prediction(s)
+            lens[rng.integers(0, p)] = 0.0
+        scores = rng.random(p)
+        preds.append(np.stack([starts, starts + lens, scores], 1))
+        gs = rng.random(g) * 140.0
+        gl = rng.random(g) * 40.0
+        if rng.random() < 0.5:  # degenerate zero-length GT(s)
+            gl[rng.integers(0, g)] = 0.0
+        if rng.random() < 0.2:  # zero-length pred exactly on zero-length GT
+            z = rng.random() * 140.0
+            starts[0] = z
+            preds[-1][0] = [z, z, scores[0]]
+            gs[0], gl[0] = z, 0.0
+        gts.append(np.stack([gs, gs + gl], 1))
+    return preds, gts
+
+
+def test_fuzz_continuous_and_degenerate_bit_identical():
+    rng = np.random.default_rng(11)
+    total = 0
+    for _ in range(40):
+        preds, gts = _random_case_continuous(rng, n_queries=25)
+        ap, handled = mr_ap_batch(preds, gts, MR_AP_THDS)
+        for i, (p, g) in enumerate(zip(preds, gts)):
+            assert handled[i]
+            want = detection_ap(g, p[:, :2], p[:, 2])
+            np.testing.assert_array_equal(ap[i], want, err_msg=f"query {i}")
+            total += 1
+    assert total == 1000
+
+
+def test_zero_length_pair_nan_semantics():
+    """0/0 IoU is NaN, which fails `iou < thd` and greedily matches — the
+    numpy contract gives AP=1.0; the kernel must reproduce it (not 0.0)."""
+    preds = [np.asarray([[5.0, 5.0, 0.9]])]
+    gts = [np.asarray([[7.0, 7.0]])]
+    ap, handled = mr_ap_batch(preds, gts, MR_AP_THDS)
+    want = detection_ap(gts[0], preds[0][:, :2], preds[0][:, 2])
+    assert handled[0]
+    np.testing.assert_array_equal(ap[0], want)
+    assert np.all(want == 1.0)
+
+
 def test_fuzz_bit_identical_to_python():
     rng = np.random.default_rng(3)
     total_handled = 0

@@ -61,6 +61,27 @@ def test_plot_query_png(env):
     assert os.path.exists(out) and os.path.getsize(out) > 1000
 
 
+def test_compare_overlay_png(env):
+    """--compare overlays a second submission's windows/saliency
+    (tools/visualize_qd.py model-vs-model figure equivalent)."""
+    root, ann, preds_path, ckpt = env
+    other = [
+        dict(
+            qid=0, query="synthetic query 0", vid="synthvid_0000",
+            pred_relevant_windows=[[2.0, 8.0, 0.7]],
+            pred_saliency_scores=[0.5] * 16,
+        )
+    ]
+    other_path = str(root / "other.jsonl")
+    save_jsonl(other, other_path)
+    out = str(root / "fig_cmp.png")
+    viz_main([
+        "--preds", preds_path, "--gt", ann, "--qid", "0", "--out", out,
+        "--compare", other_path, "--labels", "flashvtg", "baseline",
+    ])
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
 def test_attention_maps_png(env):
     root, ann, preds_path, ckpt = env
     out = str(root / "fig2.png")
