@@ -364,7 +364,7 @@ PRESETS = {
     # InternVideo2 text 4096, data/MR.py)
     "qvhighlights": dict(
         dset_name="hl", v_feat_dim=768, t_feat_dim=4096, bsz=64,
-        max_v_l=75, max_q_l=40, eval_epoch=1, wd=1e-4, eval_bsz=32,
+        max_v_l=75, max_q_l=40, eval_epoch=1, wd=1e-4, eval_bsz=256,
         enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=10,
         kernel_size=5, num_conv_layers=1, num_mlp_layers=5,
         lw_reg=1.0, lw_cls=5.0, lw_sal=0.1, lw_saliency=0.8,
@@ -377,7 +377,7 @@ PRESETS = {
     # dims per README feature preparation): video 2304+512, text CLIP 512
     "qvhighlights_slowclip": dict(
         dset_name="hl", v_feat_dim=2816, t_feat_dim=512, bsz=64,
-        max_v_l=75, max_q_l=32, eval_epoch=1, wd=1e-4, eval_bsz=32,
+        max_v_l=75, max_q_l=32, eval_epoch=1, wd=1e-4, eval_bsz=256,
         enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=10,
         kernel_size=5, num_conv_layers=1, num_mlp_layers=5,
         lw_reg=1.0, lw_cls=5.0, lw_sal=0.1, lw_saliency=0.8,
@@ -389,7 +389,7 @@ PRESETS = {
     # scripts/qv_internvideo2/train.sh (data/MR_16.py: strides to 16)
     "qv_internvideo2": dict(
         dset_name="qv_internvideo2", v_feat_dim=768, t_feat_dim=4096,
-        bsz=64, max_v_l=75, max_q_l=40, eval_epoch=1, wd=1e-4, eval_bsz=32,
+        bsz=64, max_v_l=75, max_q_l=40, eval_epoch=1, wd=1e-4, eval_bsz=256,
         enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=40,
         kernel_size=5, num_conv_layers=1, num_mlp_layers=5,
         strides=(1, 2, 4, 8, 16),
@@ -402,7 +402,7 @@ PRESETS = {
     # scripts/charades_sta/train.sh (InternVideo2-like features, clip 1s)
     "charades": dict(
         dset_name="charadesSTA", v_feat_dim=768, t_feat_dim=4096, bsz=128,
-        max_v_l=256, max_q_l=32, eval_epoch=1, eval_bsz=32,
+        max_v_l=256, max_q_l=32, eval_epoch=1, eval_bsz=128,
         enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=40,
         kernel_size=5, num_conv_layers=1, num_mlp_layers=5,
         lw_reg=1.0, lw_cls=5.0, lw_sal=0.01, lw_saliency=0.8,
@@ -426,7 +426,7 @@ PRESETS = {
     # scripts/charades_sta_internvideo2/train.sh
     "charades_internvideo2": dict(
         dset_name="charadesSTA_internvideo2", v_feat_dim=768, t_feat_dim=4096,
-        bsz=32, max_v_l=256, max_q_l=23, eval_epoch=1, eval_bsz=32,
+        bsz=32, max_v_l=256, max_q_l=23, eval_epoch=1, eval_bsz=128,
         enc_layers=3, t2v_layers=6, dummy_layers=2, num_dummies=40,
         kernel_size=7, num_conv_layers=2, num_mlp_layers=3,
         lw_reg=1.0, lw_cls=5.0, lw_sal=0.01, lw_saliency=0.8,

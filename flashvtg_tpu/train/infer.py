@@ -67,10 +67,26 @@ def _batch_putter(data_sh):
     return put
 
 
+def _eval_loss_keys(loss_cfg) -> Tuple[str, ...]:
+    """Static key order of the eval-loss vector (same sorted convention as
+    the train step's declared loss_keys)."""
+    from flashvtg_tpu.losses.criterion import loss_keys
+    from flashvtg_tpu.losses.criterion_ms import MSLossConfig, loss_keys_ms
+
+    if loss_cfg is None:
+        return ()
+    base = (
+        loss_keys_ms(loss_cfg)
+        if isinstance(loss_cfg, MSLossConfig)
+        else loss_keys(loss_cfg)
+    )
+    return tuple(sorted(base + ("weighted_loss_overall",)))
+
+
 @functools.lru_cache(maxsize=16)
 def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32",
                    saliency_only: bool = False, loss_cfg=None,
-                   use_feed: bool = False):
+                   use_feed: bool = False, packed: bool = False):
     """One jitted program: forward + decode + rank (+ criterion) for a batch.
 
     `precision` sets the MXU matmul passes: "float32" (6-pass bf16, exact
@@ -89,6 +105,14 @@ def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32",
     tensors are gathered on-device from the HBM-resident feed by row index
     (data/feed.py) instead of streaming ~tens of MB per batch over the
     host->device link.
+
+    With `packed` the step instead returns ONE (B, C) float32 array laying
+    out [spans·2K | scores·K | saliency·Lv | losses·L(broadcast rows)] —
+    on tunneled targets every host fetch pays a ~25 ms round-trip
+    regardless of size, so one fetch per batch instead of 3+L is the
+    difference between a wire-bound and a device-bound eval. The returned
+    function carries `.loss_keys` (static order of the loss block) and
+    `.unpack(arr, lv)` -> (spans, scores, saliency, losses_dict).
     """
 
     use_dfl = bool(getattr(model.cfg, "use_dfl", False))
@@ -145,17 +169,51 @@ def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32",
             )
         return spans, scores, out["saliency_scores"], losses
 
+    kys = _eval_loss_keys(loss_cfg)
+
+    def _packed_step(params, batch, point_valid):
+        spans, scores, sal, losses = _step(params, batch, point_valid)
+        b = sal.shape[0]
+        parts = []
+        if not saliency_only:
+            parts += [spans.reshape(b, -1), scores]
+        parts.append(sal)
+        if kys:
+            lvec = jnp.stack([losses[k] for k in kys]).astype(jnp.float32)
+            parts.append(jnp.broadcast_to(lvec[None, :], (b, len(kys))))
+        return jnp.concatenate(
+            [p.astype(jnp.float32) for p in parts], axis=1
+        )
+
+    def _unpack(arr: np.ndarray, lv: int):
+        """Host-side inverse of _packed_step for one fetched (B, C) array."""
+        off = 0
+        spans = scores = None
+        if not saliency_only:
+            k = (arr.shape[1] - lv - len(kys)) // 3
+            spans = arr[:, : 2 * k].reshape(arr.shape[0], k, 2)
+            scores = arr[:, 2 * k : 3 * k]
+            off = 3 * k
+        sal = arr[:, off : off + lv]
+        losses = dict(zip(kys, arr[0, off + lv :].astype(float)))
+        return spans, scores, sal, losses
+
+    inner = _packed_step if packed else _step
+
     if not use_feed:
-        return jax.jit(_step)
+        fn = jax.jit(inner)
+    else:
 
-    @jax.jit
-    def step_feed(params, small_batch, idx, feed, point_valid):
-        batch = dict(small_batch)
-        for k, store in feed.items():
-            batch[k] = store[idx]
-        return _step(params, batch, point_valid)
+        @jax.jit
+        def fn(params, small_batch, idx, feed, point_valid):
+            batch = dict(small_batch)
+            for k, store in feed.items():
+                batch[k] = store[idx]
+            return inner(params, batch, point_valid)
 
-    return step_feed
+    fn.loss_keys = kys
+    fn.unpack = _unpack
+    return fn
 
 
 def _tail_bucket(n: int, bsz: int) -> int:
@@ -309,7 +367,7 @@ def run_mr_inference(
     step = make_eval_step(
         model, cfg.max_num_moment, getattr(cfg, "eval_precision", "float32"),
         loss_cfg=loss_cfg if with_losses else None,
-        use_feed=feed is not None,
+        use_feed=feed is not None, packed=True,
     )
     nms = nms_thd if nms_thd is not None else cfg.nms_thd
 
@@ -320,7 +378,7 @@ def run_mr_inference(
             batch["valid_v_lens"], lv, cfg.strides
         )
         dev = _place_and_step(step, params, put, feed, batch, idx, strict)
-        return counts, dev
+        return counts, lv, dev
 
     submission: List[dict] = []
     # eval losses: per-batch means accumulate from FULL batches only — a
@@ -331,15 +389,14 @@ def run_mr_inference(
     loss_weight = 0.0
     tail_losses: Dict[str, float] = {}
     tail_weight = 0.0
-    for (real, idx, batch), (counts, dev) in _pipelined(
+    for (real, idx, batch), (counts, lv, dev) in _pipelined(
         dispatch, _batched(dataset, collator, cfg.eval_bsz, order)
     ):
-        spans, scores, saliency, losses = dev
-        spans = np.asarray(spans)
-        scores = np.asarray(scores)
-        saliency = np.asarray(saliency)
-        if losses:
-            host_losses = jax.device_get(losses)
+        # ONE host fetch per batch: the packed array carries spans, scores,
+        # saliency and the loss vector together (~25 ms round-trip each
+        # fetch on tunneled chips — this loop used to pay it 3+L times)
+        spans, scores, saliency, host_losses = step.unpack(np.asarray(dev), lv)
+        if host_losses:
             if real == len(idx):  # no duplicated pad rows in this batch
                 for k, v in host_losses.items():
                     loss_sums[k] = loss_sums.get(k, 0.0) + float(v) * real
@@ -348,15 +405,18 @@ def run_mr_inference(
                 for k, v in host_losses.items():
                     tail_losses[k] = tail_losses.get(k, 0.0) + float(v) * real
                 tail_weight += real
+        # 4-decimal rounding via np.round (vectorized): same round-half-even
+        # rule as the previous float(f"{x:.4f}") formatting, ~100x fewer
+        # Python-level ops over the ~300k values of a full val split
+        sal_r = np.round(saliency, 4)
         for j in range(real):
             meta = batch["meta"][j]
             n = min(cfg.max_num_moment, int(counts[j]))
             dur = meta.get("duration", 1e9)
             win = np.clip(spans[j, :n], 0, dur)
-            rows = [
-                [float(f"{a:.4f}"), float(f"{b:.4f}"), float(f"{s:.4f}")]
-                for (a, b), s in zip(win, scores[j, :n])
-            ]
+            rows = np.round(
+                np.concatenate([win, scores[j, :n, None]], axis=1), 4
+            ).tolist()
             entry = dict(
                 qid=meta["qid"],
                 query=meta.get("query", ""),
@@ -364,9 +424,7 @@ def run_mr_inference(
                 pred_relevant_windows=rows,
             )
             lvalid = int(batch["valid_v_lens"][j])
-            entry["pred_saliency_scores"] = [
-                float(f"{s:.4f}") for s in saliency[j, :lvalid]
-            ]
+            entry["pred_saliency_scores"] = sal_r[j, :lvalid].tolist()
             submission.append(entry)
 
     post = build_post_processor(cfg.dset_name, cfg.clip_length, cfg.v_feat_dim)
@@ -392,17 +450,26 @@ def apply_nms(submission: List[dict], nms_thd: float, nms_type: str):
     (replaces the host loop of inference.py:36-57)."""
     k = max(len(s["pred_relevant_windows"]) for s in submission)
     n = len(submission)
-    spans = np.zeros((n, k, 2), np.float32)
-    scores = np.zeros((n, k), np.float32)
-    for i, s in enumerate(submission):
-        rows = np.asarray(s["pred_relevant_windows"], np.float32)
-        m = len(rows)
-        spans[i, :m] = rows[:, :2]
-        scores[i, :m] = rows[:, 2]
-        # park unused slots far away so they cannot suppress real windows
-        if m < k:
-            far = 1e7 + np.arange(k - m, dtype=np.float32)[:, None] * 10
-            spans[i, m:] = np.concatenate([far, far + 1], axis=1)
+    if all(len(s["pred_relevant_windows"]) == k for s in submission):
+        # common case (every query ranked to the same top-k): one C-level
+        # conversion instead of n separate np.asarray calls
+        arr = np.asarray(
+            [s["pred_relevant_windows"] for s in submission], np.float32
+        )
+        spans = np.ascontiguousarray(arr[..., :2])
+        scores = np.ascontiguousarray(arr[..., 2])
+    else:
+        spans = np.zeros((n, k, 2), np.float32)
+        scores = np.zeros((n, k), np.float32)
+        for i, s in enumerate(submission):
+            rows = np.asarray(s["pred_relevant_windows"], np.float32)
+            m = len(rows)
+            spans[i, :m] = rows[:, :2]
+            scores[i, :m] = rows[:, 2]
+            # park unused slots far away so they cannot suppress real windows
+            if m < k:
+                far = 1e7 + np.arange(k - m, dtype=np.float32)[:, None] * 10
+                spans[i, m:] = np.concatenate([far, far + 1], axis=1)
 
     out_spans, out_scores = suppress_overlaps(
         jnp.asarray(spans), jnp.asarray(scores), nms_thd, nms_type
@@ -412,10 +479,13 @@ def apply_nms(submission: List[dict], nms_thd: float, nms_type: str):
     for i, s in enumerate(submission):
         m = len(s["pred_relevant_windows"])
         keep = out_spans[i, :, 0] < 1e6  # drop parked pad slots
-        rows = [
-            [float(a), float(b), float(f"{sc:.4f}")]
-            for (a, b), sc in zip(out_spans[i][keep][:m], out_scores[i][keep][:m])
-        ]
+        rows = np.concatenate(
+            [
+                out_spans[i][keep][:m],
+                np.round(out_scores[i][keep][:m], 4)[:, None],
+            ],
+            axis=1,
+        ).tolist()
         result.append({**s, "pred_relevant_windows": rows})
     return result
 

@@ -36,6 +36,8 @@ else:
     STEPS = 30
 if len(sys.argv) > 2:  # optional batch override: scaling sweeps
     BSZ = int(sys.argv[2])
+# skip the streamed-features measurement (wire-bound: minutes at large B)
+FEED_ONLY = os.environ.get("BENCH_FEED_ONLY", "0") == "1"
 
 
 def log(*a):
@@ -88,22 +90,24 @@ def main():
     np.asarray(loss_buf[0])  # fence
     log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
 
-    loss_buf = jnp.asarray(np.zeros((STEPS, len(keys)), np.float32))
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        b = batches[i % len(batches)]
-        device_batch = {k: jnp.asarray(v) for k, v in b.items()}
-        r, sub = jax.random.split(r)
-        params, opt_state, loss_buf = step.epoch_step(
-            params, opt_state, loss_buf, jnp.asarray(i, jnp.int32),
-            device_batch, sub,
-        )
-    host_losses = np.asarray(loss_buf)  # the one fetch per "epoch"
-    dt = time.perf_counter() - t0
-    assert np.isfinite(host_losses).all()
-    sps = STEPS / dt
-    log(f"streamed: {STEPS} steps in {dt:.3f}s -> {sps:.2f} steps/s "
-        f"({sps * BSZ:.0f} samples/s)")
+    sps = None
+    if not FEED_ONLY:
+        loss_buf = jnp.asarray(np.zeros((STEPS, len(keys)), np.float32))
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            b = batches[i % len(batches)]
+            device_batch = {k: jnp.asarray(v) for k, v in b.items()}
+            r, sub = jax.random.split(r)
+            params, opt_state, loss_buf = step.epoch_step(
+                params, opt_state, loss_buf, jnp.asarray(i, jnp.int32),
+                device_batch, sub,
+            )
+        host_losses = np.asarray(loss_buf)  # the one fetch per "epoch"
+        dt = time.perf_counter() - t0
+        assert np.isfinite(host_losses).all()
+        sps = STEPS / dt
+        log(f"streamed: {STEPS} steps in {dt:.3f}s -> {sps:.2f} steps/s "
+            f"({sps * BSZ:.0f} samples/s)")
 
     # --- HBM-resident feed: features live on device, host ships labels ---
     n_rows = 4 * BSZ
@@ -149,13 +153,16 @@ def main():
     spsf = STEPS / dtf
     log(f"device-feed: {STEPS} steps in {dtf:.3f}s -> {spsf:.2f} steps/s "
         f"({spsf * BSZ:.0f} samples/s)")
-    print(json.dumps({
+    out = {
         "preset": PRESET,
-        "train_steps_per_sec_streamed": round(sps, 2),
+        "batch": BSZ,
         "train_steps_per_sec_feed": round(spsf, 2),
-        "feed_speedup": round(spsf / sps, 2),
         "samples_per_sec_feed": round(spsf * BSZ, 1),
-    }))
+    }
+    if sps is not None:
+        out["train_steps_per_sec_streamed"] = round(sps, 2)
+        out["feed_speedup"] = round(spsf / sps, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
