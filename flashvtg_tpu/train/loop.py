@@ -379,6 +379,49 @@ def build_mesh_for(bsz: int, devices=None):
     return make_mesh(ordered, data=k * pc, model=1)
 
 
+def _prefetched(fn, n: int, depth: int = 2):
+    """Yield (i, fn(i)) for i in range(n), computed by ONE worker thread up
+    to `depth` items ahead of the consumer. Sequential single-worker order
+    keeps any RNG stream inside fn identical to the inline loop; exceptions
+    re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        for i in range(n):
+            if stop.is_set():
+                return
+            try:
+                item = (i, fn(i))
+            except BaseException as e:  # surface in the consumer
+                q.put((None, e))
+                return
+            q.put(item)
+        q.put((None, None))  # end-of-stream
+
+    t = threading.Thread(target=worker, daemon=True, name="batch-prefetch")
+    t.start()
+    try:
+        while True:
+            i, item = q.get()
+            if i is None:
+                if item is not None:
+                    raise item
+                return
+            yield i, item
+    finally:
+        stop.set()
+        # unblock a worker parked on a full queue
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+
+
 def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     """Full training run; returns (best_params, best_score, results_dir).
 
@@ -614,19 +657,33 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             jax.device_put(loss_buf, rep_sh) if rep_sh is not None
             else jnp.asarray(loss_buf)
         )
+        def host_batch_for(i):
+            """Labels + bookkeeping for step i (features ride the feed in
+            feed mode). Pure host work — safe to run one step ahead."""
+            idx = order[i * local_bsz : (i + 1) * local_bsz]
+            if len(idx) < local_bsz:
+                return None
+            batch = step_collator([train_dataset[j] for j in idx])
+            host_batch = device_arrays(batch)
+            if pc > 1 and "real_neg_mask" in host_batch:
+                host_batch["real_neg_mask"] = global_real_neg_mask(
+                    global_vids, all_rows, i, local_bsz, pc,
+                    jax.process_index(),
+                )
+            return idx, host_batch
+
         steps_done = 0
         with trace_ctx:
-            for i in range(steps_per_epoch):
-                idx = order[i * local_bsz : (i + 1) * local_bsz]
-                if len(idx) < local_bsz:
+            # single-worker lookahead: the per-step label resampling /
+            # collation (python-heavy, RNG-parity-bound) overlaps the
+            # device compute of the previous step. One worker consuming
+            # i in order keeps the dataset's label RNG stream identical
+            # to the inline loop (pinned by test_multichip's train
+            # equivalence).
+            for i, made in _prefetched(host_batch_for, steps_per_epoch):
+                if made is None:
                     continue
-                batch = step_collator([train_dataset[j] for j in idx])
-                host_batch = device_arrays(batch)
-                if pc > 1 and "real_neg_mask" in host_batch:
-                    host_batch["real_neg_mask"] = global_real_neg_mask(
-                        global_vids, all_rows, i, local_bsz, pc,
-                        jax.process_index(),
-                    )
+                idx, host_batch = made
                 rng, sub = jax.random.split(rng)
                 if feed is not None:
                     # HBM-resident features: ship labels + row indices only
