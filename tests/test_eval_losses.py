@@ -51,6 +51,47 @@ def env(tmp_path_factory):
     return cfg, model, params, dataset
 
 
+def test_packed_step_matches_tuple_step(env):
+    """make_eval_step(packed=True) must carry exactly the tuple step's
+    outputs: spans/scores/saliency bit-identical and the loss vector laid
+    out in the declared .loss_keys order."""
+    import jax.numpy as jnp
+
+    from flashvtg_tpu.data.collate import Collator, device_arrays
+    from flashvtg_tpu.models.points import pyramid_masks_strict
+    from flashvtg_tpu.train.infer import make_eval_step
+
+    cfg, model, params, dataset = env
+    loss_cfg = cfg.loss_config()
+    collator = Collator(
+        max_q_l=cfg.max_q_l, v_buckets=cfg.v_buckets,
+        max_windows=cfg.max_windows, dset_name=cfg.dset_name,
+        fixed_v_len=cfg.max_v_l,
+    )
+    batch = collator([dataset[i] for i in range(8)])
+    strict, _ = pyramid_masks_strict(
+        batch["valid_v_lens"], cfg.max_v_l, cfg.strides
+    )
+    dev_batch = {k: jnp.asarray(v) for k, v in device_arrays(batch).items()}
+
+    plain = make_eval_step(
+        model, cfg.max_num_moment, "float32", loss_cfg=loss_cfg
+    )
+    packed = make_eval_step(
+        model, cfg.max_num_moment, "float32", loss_cfg=loss_cfg, packed=True
+    )
+    spans, scores, sal, losses = plain(params, dev_batch, jnp.asarray(strict))
+    arr = np.asarray(packed(params, dev_batch, jnp.asarray(strict)))
+    u_spans, u_scores, u_sal, u_losses = packed.unpack(arr, cfg.max_v_l)
+
+    np.testing.assert_array_equal(np.asarray(spans), u_spans)
+    np.testing.assert_array_equal(np.asarray(scores), u_scores)
+    np.testing.assert_array_equal(np.asarray(sal), u_sal)
+    assert set(u_losses) == set(losses)
+    for k, v in losses.items():
+        np.testing.assert_allclose(float(v), u_losses[k], rtol=1e-6)
+
+
 def test_eval_losses_returned(env):
     cfg, model, params, dataset = env
     sub, _, losses = run_mr_inference(
