@@ -68,19 +68,11 @@ def _batch_putter(data_sh):
 
 
 def _eval_loss_keys(loss_cfg) -> Tuple[str, ...]:
-    """Static key order of the eval-loss vector (same sorted convention as
-    the train step's declared loss_keys)."""
-    from flashvtg_tpu.losses.criterion import loss_keys
-    from flashvtg_tpu.losses.criterion_ms import MSLossConfig, loss_keys_ms
+    """Static key order of the eval-loss vector — the same declared order
+    the train step's loss buffer uses (losses.declared_loss_keys)."""
+    from flashvtg_tpu.losses import declared_loss_keys
 
-    if loss_cfg is None:
-        return ()
-    base = (
-        loss_keys_ms(loss_cfg)
-        if isinstance(loss_cfg, MSLossConfig)
-        else loss_keys(loss_cfg)
-    )
-    return tuple(sorted(base + ("weighted_loss_overall",)))
+    return () if loss_cfg is None else declared_loss_keys(loss_cfg)
 
 
 @functools.lru_cache(maxsize=16)
@@ -217,24 +209,27 @@ def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32",
 
 
 def _tail_bucket(n: int, bsz: int) -> int:
-    """Smallest power-of-two (capped at bsz) that fits a tail of n rows —
-    a handful of extra compiled programs instead of recomputing up to
-    bsz-1 duplicated rows on every eval epoch."""
+    """Largest power-of-two (capped at bsz) that FITS a tail of n rows.
+    The remainder splits into its binary decomposition (e.g. 14 -> 8+4+2),
+    so every eval batch is exactly full at a static bucket size: no
+    duplicated pad rows (which would bias in-jit eval-loss means) and no
+    wasted recompute, at the cost of at most log2(bsz) extra compiled
+    programs — the same bucket set the old pad-up scheme compiled."""
     b = 1
-    while b < n and b < bsz:
+    while b * 2 <= min(n, bsz):
         b *= 2
-    return min(b, bsz)
+    return b
 
 
 def _batched(dataset: VTGDataset, collator: Collator, bsz: int, order=None):
     n = len(dataset)
     order = list(range(n)) if order is None else list(order)
-    for i in range(0, n, bsz):
-        idx = order[i : i + bsz]
-        real = len(idx)
-        while len(idx) < _tail_bucket(real, bsz):
-            idx.append(idx[-1])  # pad the tail to its (static) bucket size
-        yield real, idx, collator([dataset[j] for j in idx])
+    i = 0
+    while i < n:
+        take = bsz if n - i >= bsz else _tail_bucket(n - i, bsz)
+        idx = order[i : i + take]
+        yield len(idx), idx, collator([dataset[j] for j in idx])
+        i += take
 
 
 def _maybe_device_feed(cfg, dataset: VTGDataset, fixed_v_len, sharding=None):
@@ -381,14 +376,11 @@ def run_mr_inference(
         return counts, lv, dev
 
     submission: List[dict] = []
-    # eval losses: per-batch means accumulate from FULL batches only — a
-    # padded tail batch's in-jit mean counts duplicated pad rows, which
-    # would bias the logged curves (fallback to the tail when the whole
-    # split is smaller than one batch)
+    # eval losses: every batch is exactly full at its bucket size (binary
+    # tail decomposition in _batched), so the per-batch in-jit means are
+    # unbiased and aggregate weighted by true row counts
     loss_sums: Dict[str, float] = {}
     loss_weight = 0.0
-    tail_losses: Dict[str, float] = {}
-    tail_weight = 0.0
     for (real, idx, batch), (counts, lv, dev) in _pipelined(
         dispatch, _batched(dataset, collator, cfg.eval_bsz, order)
     ):
@@ -397,25 +389,26 @@ def run_mr_inference(
         # fetch on tunneled chips — this loop used to pay it 3+L times)
         spans, scores, saliency, host_losses = step.unpack(np.asarray(dev), lv)
         if host_losses:
-            if real == len(idx):  # no duplicated pad rows in this batch
-                for k, v in host_losses.items():
-                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v) * real
-                loss_weight += real
-            else:
-                for k, v in host_losses.items():
-                    tail_losses[k] = tail_losses.get(k, 0.0) + float(v) * real
-                tail_weight += real
-        # 4-decimal rounding via np.round (vectorized): same round-half-even
-        # rule as the previous float(f"{x:.4f}") formatting, ~100x fewer
+            for k, v in host_losses.items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v) * real
+            loss_weight += real
+        # 4-decimal rounding via np.round IN FLOAT64 (vectorized): for
+        # float32-origin values this reproduces float(f"{x:.4f}") exactly
+        # (0 flips over 700k values incl. an adversarial decimal-tie set;
+        # rounding in f32 flips ~1e-4 of them) and serializes as the clean
+        # shortest-repr doubles the f-string produced — at ~100x fewer
         # Python-level ops over the ~300k values of a full val split
-        sal_r = np.round(saliency, 4)
+        sal_r = np.round(saliency.astype(np.float64), 4)
         for j in range(real):
             meta = batch["meta"][j]
             n = min(cfg.max_num_moment, int(counts[j]))
             dur = meta.get("duration", 1e9)
             win = np.clip(spans[j, :n], 0, dur)
             rows = np.round(
-                np.concatenate([win, scores[j, :n, None]], axis=1), 4
+                np.concatenate(
+                    [win, scores[j, :n, None]], axis=1
+                ).astype(np.float64),
+                4,
             ).tolist()
             entry = dict(
                 qid=meta["qid"],
@@ -437,8 +430,6 @@ def run_mr_inference(
     submission_nms = None
     if nms is not None and nms != -1:
         submission_nms = apply_nms(submission, nms, cfg.nms_type)
-    if not loss_weight and tail_weight:
-        loss_sums, loss_weight = tail_losses, tail_weight
     eval_losses = {
         k: v / loss_weight for k, v in loss_sums.items()
     } if loss_weight else {}
@@ -481,8 +472,10 @@ def apply_nms(submission: List[dict], nms_thd: float, nms_type: str):
         keep = out_spans[i, :, 0] < 1e6  # drop parked pad slots
         rows = np.concatenate(
             [
-                out_spans[i][keep][:m],
-                np.round(out_scores[i][keep][:m], 4)[:, None],
+                out_spans[i][keep][:m].astype(np.float64),
+                np.round(
+                    out_scores[i][keep][:m].astype(np.float64), 4
+                )[:, None],
             ],
             axis=1,
         ).tolist()

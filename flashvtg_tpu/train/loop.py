@@ -37,7 +37,7 @@ import optax
 
 from flashvtg_tpu.data.collate import Collator, device_arrays
 from flashvtg_tpu.data.dataset import DataConfig, VTGDataset, strip_vid_suffix
-from flashvtg_tpu.losses.criterion import compute_losses, loss_keys, weighted_total
+from flashvtg_tpu.losses.criterion import compute_losses, weighted_total
 from flashvtg_tpu.train.config import ExperimentConfig
 from flashvtg_tpu.train.infer import run_hl_inference, run_mr_inference
 from flashvtg_tpu.utils.io import AverageMeter, save_json, save_jsonl
@@ -78,20 +78,17 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
         on-device from the HBM-resident `feed` (data/feed.py) via int32 row
         indices `idx`; the host ships only labels (KBs instead of ~50 MB);
       * .loss_keys — the static key order of the stacked vector (declared by
-        losses.criterion.loss_keys — no trace-time side channel).
+        losses.declared_loss_keys — no trace-time side channel).
     """
+    from flashvtg_tpu.losses import declared_loss_keys
     from flashvtg_tpu.losses.criterion_ms import (
         MSLossConfig,
         compute_losses_ms,
-        loss_keys_ms,
         weighted_total_ms,
     )
 
     is_ms = isinstance(loss_cfg, MSLossConfig)
-    keys = sorted(
-        (loss_keys_ms(loss_cfg) if is_ms else loss_keys(loss_cfg))
-        + ("weighted_loss_overall",)
-    )
+    keys = declared_loss_keys(loss_cfg)
 
     def loss_fn(params, batch, rng):
         out = model.apply(

@@ -13,11 +13,29 @@ from flashvtg_tpu.utils.synthetic import make_synthetic_qvh
 
 
 def test_tail_bucket_sizes():
+    # largest power of two FITTING the remainder: tails decompose into
+    # their binary representation, so no batch ever pads with duplicates
     assert _tail_bucket(1, 32) == 1
-    assert _tail_bucket(3, 32) == 4
-    assert _tail_bucket(14, 32) == 16
+    assert _tail_bucket(3, 32) == 2  # 3 -> batches of 2 + 1
+    assert _tail_bucket(14, 32) == 8  # 14 -> 8 + 4 + 2
     assert _tail_bucket(32, 32) == 32
-    assert _tail_bucket(20, 24) == 24  # capped at bsz even off a power of 2
+    assert _tail_bucket(20, 24) == 16  # capped at bsz even off a power of 2
+
+
+def test_batched_exact_binary_tails():
+    from flashvtg_tpu.train.infer import _batched
+
+    class _FakeDs:
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            return i
+
+    takes = [idx for _, idx, _ in _batched(_FakeDs(), list, 8)]
+    assert [len(t) for t in takes] == [8, 4, 1]  # 13 = 8 + 4 + 1
+    flat = [i for t in takes for i in t]
+    assert flat == list(range(13))  # every row exactly once, in order
 
 
 @pytest.fixture(scope="module")
@@ -97,7 +115,7 @@ def test_eval_losses_returned(env):
     sub, _, losses = run_mr_inference(
         cfg, model, params, dataset, loss_cfg=cfg.loss_config()
     )
-    # 13 rows at eval_bsz=8 -> one full batch + a bucketed tail of 8
+    # 13 rows at eval_bsz=8 -> exact batches of 8 + 4 + 1 (binary tail)
     assert len(sub) == 13
     assert "weighted_loss_overall" in losses and "loss_saliency" in losses
     assert all(np.isfinite(v) for v in losses.values())
