@@ -138,10 +138,18 @@ class VTGDataset:
         if cfg.data_ratio != 1:
             self.data = self.data[: int(len(self.data) * cfg.data_ratio)]
         if cfg.dset_name in ("tvsum", "tvsum_sfc"):
-            assert cfg.dset_domain in TVSUM_DOMAINS
+            if cfg.dset_domain not in TVSUM_DOMAINS:
+                raise ValueError(
+                    f"tvsum trains per domain: pass --dset_domain, one of "
+                    f"{sorted(TVSUM_DOMAINS)} (got {cfg.dset_domain!r})"
+                )
             self.data = [d for d in self.data if d["domain"] == cfg.dset_domain]
         elif cfg.dset_name == "youtube_uni":
-            assert cfg.dset_domain in YOUTUBE_DOMAINS
+            if cfg.dset_domain not in YOUTUBE_DOMAINS:
+                raise ValueError(
+                    f"youtube_uni trains per domain: pass --dset_domain, one "
+                    f"of {sorted(YOUTUBE_DOMAINS)} (got {cfg.dset_domain!r})"
+                )
             self.data = [d for d in self.data if d["domain"] == cfg.dset_domain]
 
         self._cache = [None] * len(self.data)
