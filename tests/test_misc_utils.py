@@ -64,3 +64,20 @@ def test_model_cfg_files():
     assert gfl.loss_qfl and gfl.loss_cls is None
     hd = apply_model_cfg(ExperimentConfig(), load_model_cfg_file("configs/HD.py"))
     assert hd.loss_reg is None and hd.nce_direction == ("row",)
+
+
+def test_tvsum_missing_domain_clear_error(tmp_path):
+    """tvsum/youtube datasets require --dset_domain; the error must name
+    the flag and the valid domains (was a bare AssertionError)."""
+    import json
+
+    import pytest
+
+    from flashvtg_tpu.data.dataset import DataConfig, VTGDataset
+
+    p = tmp_path / "x.jsonl"
+    p.write_text(json.dumps({"qid": "v", "vid": "v", "domain": "BK"}) + "\n")
+    with pytest.raises(ValueError, match="dset_domain"):
+        VTGDataset(DataConfig(dset_name="tvsum", data_path=str(p)))
+    with pytest.raises(ValueError, match="dset_domain"):
+        VTGDataset(DataConfig(dset_name="youtube_uni", data_path=str(p)))
