@@ -53,8 +53,8 @@ def _eval_shardings(mesh):
 def _batch_putter(data_sh):
     """Returns put(arrs) placing a dict of batch-leading arrays: sharded
     over the data axis when every row count divides the mesh, else local.
-    (Tail buckets smaller than the mesh fall back to one device — they are
-    separately-compiled programs anyway.)"""
+    (Binary tail sub-batches rarely divide the mesh and then run on one
+    device — acceptable: they are tiny and separately-compiled anyway.)"""
 
     def put(arrs):
         if data_sh is not None:
@@ -67,12 +67,6 @@ def _batch_putter(data_sh):
     return put
 
 
-def _eval_loss_keys(loss_cfg) -> Tuple[str, ...]:
-    """Static key order of the eval-loss vector — the same declared order
-    the train step's loss buffer uses (losses.declared_loss_keys)."""
-    from flashvtg_tpu.losses import declared_loss_keys
-
-    return () if loss_cfg is None else declared_loss_keys(loss_cfg)
 
 
 @functools.lru_cache(maxsize=16)
@@ -161,7 +155,9 @@ def make_eval_step(model: FlashVTGModel, top_k: int, precision: str = "float32",
             )
         return spans, scores, out["saliency_scores"], losses
 
-    kys = _eval_loss_keys(loss_cfg)
+    from flashvtg_tpu.losses import declared_loss_keys
+
+    kys = declared_loss_keys(loss_cfg)
 
     def _packed_step(params, batch, point_valid):
         spans, scores, sal, losses = _step(params, batch, point_valid)
@@ -213,8 +209,12 @@ def _tail_bucket(n: int, bsz: int) -> int:
     The remainder splits into its binary decomposition (e.g. 14 -> 8+4+2),
     so every eval batch is exactly full at a static bucket size: no
     duplicated pad rows (which would bias in-jit eval-loss means) and no
-    wasted recompute, at the cost of at most log2(bsz) extra compiled
-    programs — the same bucket set the old pad-up scheme compiled."""
+    wasted recompute. Cost: the tail runs as up to log2(bsz) batches where
+    the old pad-up scheme ran one — a few extra tiny dispatches (and, on a
+    mesh, tail parts rarely divide the data axis, so they run single-chip)
+    per eval epoch. The possible compiled sizes stay the powers of two up
+    to bsz. Accepted: the tail is <1 batch of a split and the loss means
+    must be exact."""
     b = 1
     while b * 2 <= min(n, bsz):
         b *= 2
