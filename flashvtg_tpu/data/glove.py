@@ -35,7 +35,7 @@ class GloveEmbedder:
 
             gv = tt_vocab.pretrained_aliases["glove.6B.300d"]()
             return cls(dict(gv.stoi), gv.vectors.numpy())
-        except Exception as e:  # pragma: no cover - env dependent
+        except Exception as e:
             raise RuntimeError(
                 "GloVe vectors unavailable: set FLASHVTG_GLOVE_PATH to a "
                 "glove.6B.300d.txt file or install torchtext"

@@ -36,7 +36,12 @@ from flashvtg_tpu.models.components import (
     sine_position_embedding,
 )
 from flashvtg_tpu.models.points import generate_points, pyramid_masks_pool
-from flashvtg_tpu.models.transformer import Encoder, T2VEncoder
+from flashvtg_tpu.models.transformer import (
+    Encoder,
+    T2VEncoder,
+    neg_pass_donors,
+    tiled_attn_donors,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +68,18 @@ class ModelConfig:
     coord_kernel_size: int = 3  # ConvHead kernel (coord_head_cfg kernal_size)
     num_conv_layers: int = 3
     num_mlp_layers: int = 3
+    # The reference HARDCODES the dummy-token text encoder's dropout (0.1)
+    # and head count (8) independently of --dropout/--nheads
+    # (model.py:119: TransformerEncoderLayer(hidden_dim, 8, dff, 0.1, ...));
+    # kept as separate knobs so the quirk is explicit and test-overridable.
+    dummy_dropout: float = 0.1
+    dummy_nheads: int = 8
+    # Reproduce the reference's misaligned ACA attn_mask in train batches
+    # (transformer.py:345-347 tiles the per-row pad-outer-product mask
+    # head-major while torch MHA reads it batch-major — see
+    # transformer.tiled_attn_donors). Train-only; bsz=1 degenerates to the
+    # row's own mask, so reference eval is unaffected either way.
+    compat_attn_tile: bool = True
     max_num_moment: int = 50
     clip_length: float = 2.0
     use_neg: bool = True
@@ -145,7 +162,8 @@ class FlashVTGModel(nn.Module):
             [jnp.ones((b, nd), src_txt_mask.dtype), src_txt_mask], axis=1
         )
         refreshed = Encoder(
-            cfg.dummy_layers, cfg.nheads, cfg.dim_feedforward, cfg.dropout,
+            cfg.dummy_layers, cfg.dummy_nheads, cfg.dim_feedforward,
+            cfg.dummy_dropout,  # hardcoded 0.1/8 in the reference, see cfg
             name="dummy_encoder",
         )(txt_d, pos_txt_d, txt_d_valid, deterministic=det)
         dummy_refreshed = refreshed[:, :nd]
@@ -163,28 +181,58 @@ class FlashVTGModel(nn.Module):
         sal_proj1 = nn.Dense(d, name="saliency_proj1")
         sal_proj2 = nn.Dense(d, name="saliency_proj2")
 
-        def trunk(txt_tokens, txt_valid):
+        def trunk(txt_tokens, txt_valid, donor_rows=None):
             fused, attn = t2v(
                 vid, txt_tokens, pos_vid, pos_txt_d, txt_valid,
                 deterministic=det,
+                vid_valid=src_vid_mask if donor_rows is not None else None,
+                donor_rows=donor_rows,
             )
             emb = encoder(fused, pos_vid, src_vid_mask, deterministic=det)
-            denom = jnp.maximum(src_vid_mask.sum(axis=1, keepdims=True), 1.0)
-            global_emb = (emb * src_vid_mask[..., None]).sum(axis=1) / denom
+            if det:
+                # eval (bsz=1 unpadded in the reference): a masked mean is
+                # exactly the reference's plain mean over the true length
+                denom = jnp.maximum(
+                    src_vid_mask.sum(axis=1, keepdims=True), 1.0
+                )
+                global_emb = (emb * src_vid_mask[..., None]).sum(axis=1) / denom
+            else:
+                # train: the reference's global pooling is an UNMASKED mean
+                # over the batch-padded length (transformer.py:107) — padded
+                # positions carry deterministic key-masked encoder outputs,
+                # which both implementations compute identically; pinned by
+                # test_grad_parity's short-row case
+                global_emb = emb.mean(axis=1)
             sal = (sal_proj1(emb) * sal_proj2(global_emb)[:, None, :]).sum(-1)
             sal = sal / jnp.sqrt(float(d))
             return emb, attn, sal
 
-        video_emb, attn_weights, saliency = trunk(txt_d, txt_d_valid)
+        compat_tile = train and cfg.compat_attn_tile
+        donors_pos = (
+            tiled_attn_donors(b, cfg.nheads) if compat_tile else None
+        )
+        video_emb, attn_weights, saliency = trunk(
+            txt_d, txt_d_valid, donor_rows=donors_pos
+        )
 
         # --- temporal feature pyramid + heads (model.py:188-210) ---
-        # Padded positions are zeroed so that the point-axis convolutions in
-        # the heads see zeros beyond each sample's true length — exactly what
-        # the reference's convs see via zero padding at its (unpadded)
-        # sequence end. `video_emb` after the pyramid call is relu'd when a
-        # stride-1 level exists (reference in-place-ReLU quirk; see
-        # ConvPyramid docstring).
-        video_emb = video_emb * src_vid_mask[..., None]
+        # Padding semantics split by mode to mirror the reference exactly:
+        #   * train: the reference batches variable-length videos padded to
+        #     the batch max and runs the pyramid/head convs over the encoder
+        #     outputs at padded positions too (model.py:190 passes video_emb
+        #     straight through) — those outputs are a deterministic function
+        #     of the valid tokens (padding is key-masked only), so keeping
+        #     them preserves bit-level train parity incl. the boundary bleed
+        #     the reference trains with (pinned by test_grad_parity's
+        #     short-row case).
+        #   * eval: the reference runs bsz=1 UNPADDED, so its convs see
+        #     zeros past the true length (implicit conv zero-padding);
+        #     zeroing our padded positions reproduces that up to the level-
+        #     boundary rows (docs/BUCKETS.md).
+        # `video_emb` after the pyramid call is relu'd when a stride-1 level
+        # exists (reference in-place-ReLU quirk; see ConvPyramid docstring).
+        if det:
+            video_emb = video_emb * src_vid_mask[..., None]
         pymid, video_emb = ConvPyramid(cfg.strides, name="pyramid")(video_emb)
         pymid_msk = pyramid_masks_pool(src_vid_mask, cfg.strides)
         points = jnp.asarray(generate_points(lv, cfg.strides))
@@ -213,7 +261,27 @@ class FlashVTGModel(nn.Module):
         out_class = jnp.concatenate(
             [class_head(e, m) for e, m in zip(pymid, lm)], axis=1
         )
-        out_conf = conf_head(jnp.concatenate(pymid, axis=1), point_valid)
+        cat = jnp.concatenate(pymid, axis=1)
+        if point_valid is not None:
+            # The conf head convolves across the CONCATENATED pyramid
+            # (model.py:199), where the reference's unpadded eval run puts
+            # level k's last valid row adjacent to level k+1's first. Under
+            # static padding a zero gap would sit between them, deviating at
+            # the kernel//2 boundary rows (docs/BUCKETS.md). Compact the
+            # valid rows to the front (stable argsort keeps level order =
+            # the reference's compact concat), convolve, scatter back:
+            # boundary rows now see exactly what the reference's convs see,
+            # and positions past the total valid count read zeros — the
+            # implicit conv zero-padding at the reference's sequence end.
+            order = jnp.argsort(point_valid <= 0, axis=1, stable=True)
+            inv = jnp.argsort(order, axis=1, stable=True)
+            comp = jnp.take_along_axis(cat, order[..., None], axis=1)
+            comp_msk = jnp.take_along_axis(point_valid, order, axis=1)
+            out_conf = jnp.take_along_axis(
+                conf_head(comp, comp_msk), inv[..., None], axis=1
+            )
+        else:
+            out_conf = conf_head(cat, None)
         blend = self.param("blend", lambda k: jnp.asarray(0.5, jnp.float32))
         out_class = blend * out_class + (1.0 - blend) * out_conf  # (B, N, 1)
 
@@ -259,7 +327,20 @@ class FlashVTGModel(nn.Module):
         if (train or force_neg) and cfg.use_neg:
             txt_d_neg = jnp.roll(txt_d, -1, axis=0)
             txt_d_valid_neg = jnp.roll(txt_d_valid, -1, axis=0)
-            _, attn_neg, sal_neg = trunk(txt_d_neg, txt_d_valid_neg)
+            donors_neg = None
+            if compat_tile:
+                # the reference runs the neg trunk on the FILTERED real-neg
+                # rows (model.py:281-284), so the misaligned-mask donor
+                # arithmetic indexes that filtered batch
+                rnm = (
+                    real_neg_mask
+                    if real_neg_mask is not None
+                    else jnp.ones((b,), jnp.float32)
+                )
+                donors_neg = neg_pass_donors(rnm, cfg.nheads)
+            _, attn_neg, sal_neg = trunk(
+                txt_d_neg, txt_d_valid_neg, donor_rows=donors_neg
+            )
             t2vattn_neg = (
                 attn_neg[:, :, nd:] * txt_d_valid_neg[:, nd:][:, None, :]
             ).sum(2)

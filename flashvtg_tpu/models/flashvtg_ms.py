@@ -131,7 +131,9 @@ class FlashVTGMSModel(nn.Module):
         )
         txt_d_valid = jnp.ones((b, nd + 1), src_txt_mask.dtype)
         refreshed = Encoder(
-            cfg.dummy_layers, cfg.nheads, cfg.dim_feedforward, cfg.dropout,
+            cfg.dummy_layers, cfg.dummy_nheads, cfg.dim_feedforward,
+            cfg.dummy_dropout,  # hardcoded 0.1/8 in the reference
+            # (FlashVTG_ms/model.py:125), independent of --dropout/--nheads
             name="dummy_encoder",
         )(txt_d, pos_txt_d, txt_d_valid, deterministic=det)
         dummy_refreshed = refreshed[:, :nd]

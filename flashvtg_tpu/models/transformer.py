@@ -31,6 +31,42 @@ from flashvtg_tpu.models.components import DropPath, PReLU
 NEG_INF = float("-inf")
 
 
+def tiled_attn_donors(batch: int, num_heads: int) -> jnp.ndarray:
+    """Donor-row table reproducing the reference's misaligned ACA attn_mask.
+
+    transformer.py:345-347 builds a per-row (query_pad ⊗ key_pad) mask and
+    tiles it with `.repeat(nhead, 1, 1)` — laid out head-major
+    (h * bsz + b) — while torch MHA consumes 3D masks batch-major
+    (b * nhead + h). Net effect: batch row b, head h is masked with row
+    `(b * nhead + h) % bsz`'s padding pattern. At bsz=1 (reference eval)
+    this degenerates to the row's own mask; in mixed-length train batches
+    it leaks other rows' padding into valid positions. Reproduced (train
+    only) for bit-level training parity; see docs/PARITY.md.
+    """
+    b = jnp.arange(batch)[:, None]
+    h = jnp.arange(num_heads)[None, :]
+    return (b * num_heads + h) % batch
+
+
+def neg_pass_donors(real_neg_mask: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Donor rows for the negative pass's misaligned attn_mask.
+
+    The reference filters the neg batch to real-neg rows before the trunk
+    (model.py:281-284), so the donor arithmetic of `tiled_attn_donors` runs
+    over *filtered* indices. This maps it back to original rows: for each
+    original row, its filtered index i feeds (i * nhead + h) % R, and the
+    result indexes the ascending list of real-neg rows. Rows that are not
+    real negatives receive an arbitrary valid donor — their neg outputs are
+    excluded from every loss by `real_neg_mask`.
+    """
+    m = real_neg_mask > 0
+    order = jnp.argsort(~m, stable=True)  # real-neg rows first, ascending
+    r = jnp.maximum(m.sum(), 1)
+    fidx = jnp.clip(jnp.cumsum(m) - 1, 0, None)
+    h = jnp.arange(num_heads)[None, :]
+    return order[(fidx[:, None] * num_heads + h) % r]
+
+
 def _split_heads(x, num_heads):
     b, l, d = x.shape
     return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
@@ -55,7 +91,8 @@ class AdaptiveCrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, key_valid, deterministic: bool = True,
-                 drop_dummies: bool = True):
+                 drop_dummies: bool = True, query_valid=None,
+                 donor_rows=None):
         d = q.shape[-1]
         head_dim = d // self.num_heads
         scaling = head_dim ** -0.5
@@ -67,6 +104,16 @@ class AdaptiveCrossAttention(nn.Module):
         nd = self.num_dummies if drop_dummies else 0
         logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
         logits = jnp.where(key_valid[:, None, None, :] > 0, logits, NEG_INF)
+        if donor_rows is not None and query_valid is not None:
+            # reference-bug reproduction (train only): each (row, head) is
+            # additionally masked with the (query_pad ⊗ key_pad) pattern of
+            # `donor_rows[b, h]` — see tiled_attn_donors. Applied before
+            # softmax like the reference's masked_fill_.
+            qpad = (query_valid <= 0)[donor_rows]  # (B, H, Lq)
+            kpad = (key_valid <= 0)[donor_rows]  # (B, H, Lk)
+            logits = jnp.where(
+                qpad[..., :, None] & kpad[..., None, :], NEG_INF, logits
+            )
         weights = jax.nn.softmax(logits, axis=-1)  # softmax incl. dummies
         weights_d = nn.Dropout(self.dropout)(
             weights, deterministic=deterministic
@@ -111,7 +158,8 @@ class T2VEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, vid, txt, pos_vid, pos_txt, txt_valid,
-                 deterministic: bool = True, drop_dummies: bool = True):
+                 deterministic: bool = True, drop_dummies: bool = True,
+                 vid_valid=None, donor_rows=None):
         attn_out, attn_weights = AdaptiveCrossAttention(
             self.num_heads, self.num_dummies, self.dropout, name="attn"
         )(
@@ -121,6 +169,8 @@ class T2VEncoderLayer(nn.Module):
             txt_valid,
             deterministic=deterministic,
             drop_dummies=drop_dummies,
+            query_valid=vid_valid,
+            donor_rows=donor_rows,
         )
         x = vid + DropPath(self.dropout, name="drop1")(
             attn_out, deterministic=deterministic
@@ -148,7 +198,8 @@ class T2VEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, vid, txt, pos_vid, pos_txt, txt_valid,
-                 deterministic: bool = True, drop_dummies: bool = True):
+                 deterministic: bool = True, drop_dummies: bool = True,
+                 vid_valid=None, donor_rows=None):
         attn_sum = None
         for i in range(self.num_layers):
             vid, w = T2VEncoderLayer(
@@ -158,7 +209,8 @@ class T2VEncoder(nn.Module):
                 self.dropout,
                 name=f"layer{i}",
             )(vid, txt, pos_vid, pos_txt, txt_valid,
-              deterministic=deterministic, drop_dummies=drop_dummies)
+              deterministic=deterministic, drop_dummies=drop_dummies,
+              vid_valid=vid_valid, donor_rows=donor_rows)
             attn_sum = w if attn_sum is None else attn_sum + w
         return vid, attn_sum / self.num_layers
 

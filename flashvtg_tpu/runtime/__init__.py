@@ -154,9 +154,17 @@ def mr_ap_batch(preds_list, gts_list, thresholds):
     for i, (p, g) in enumerate(zip(preds_list, gts_list)):
         pred_off[i + 1] = pred_off[i] + len(p)
         gt_off[i + 1] = gt_off[i] + len(g)
+    pred_arrs = []
+    for p in preds_list:
+        a = np.asarray(p, np.float64)
+        if a.size and (a.ndim != 2 or a.shape[1] < 3):
+            raise ValueError(
+                "mr_ap_batch: prediction rows must be [start, end, score, ...] "
+                f"with >= 3 columns, got shape {a.shape}"
+            )
+        pred_arrs.append(a.reshape(-1, a.shape[1] if a.size else 3)[:, :3])
     preds = (
-        np.concatenate([np.asarray(p, np.float64).reshape(-1, 3) for p in preds_list])
-        if pred_off[-1] else np.zeros((0, 3))
+        np.concatenate(pred_arrs) if pred_off[-1] else np.zeros((0, 3))
     )
     gts = (
         np.concatenate([np.asarray(g, np.float64).reshape(-1, 2) for g in gts_list])

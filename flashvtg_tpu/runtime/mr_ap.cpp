@@ -222,7 +222,11 @@ long hl_ap_batch(const double* scores, const long* off,
         order.resize(n);
         for (long i = 0; i < n; i++) order[i] = i;
         std::stable_sort(order.begin(), order.end(), [&](long a, long b) {
-            return sc[a] > sc[b];  // mergesort-stable descending
+            // mergesort-stable descending; NaN sorts last (numpy semantics).
+            // Plain `sc[a] > sc[b]` violates strict weak ordering under NaN.
+            if (std::isnan(sc[a])) return false;
+            if (std::isnan(sc[b])) return true;
+            return sc[a] > sc[b];
         });
         // PR threshold positions: where the sorted score changes, plus last
         thd_idx.clear();

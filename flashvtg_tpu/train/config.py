@@ -245,10 +245,12 @@ class ExperimentConfig:
         "eos_coef": 0.1,  # builds an empty_weight buffer nothing reads
         "conf_thd": 0.0,  # flag defined, never read (config.py:162)
         "max_before_nms": 50,  # accepted by post_processing_mr_nms, ignored
-        # buffer_size caps the reference's preallocated point buffer
-        # (generator.py:60 assert); our points are generated exactly sized
-        "buffer_size": None,
     }
+    # Also inert but NOT warned here: buffer_size (caps the reference's
+    # preallocated point buffer, generator.py:60 assert; our points are
+    # generated exactly sized). HD presets legitimately set it to 2048 via
+    # model cfg files, so a default-comparison warning would fire on every
+    # preset run — documented in docs/PARITY.md instead.
 
     def warn_inert_flags(self):
         for name, default in self._INERT_FLAGS.items():

@@ -27,3 +27,66 @@ def test_glove_from_text_file(tmp_path):
     # second construction uses the written cache files
     emb2 = GloveEmbedder.from_text_file(str(path))
     np.testing.assert_allclose(emb2("door")[0], vecs["door"])
+
+
+def test_glove_torchtext_branch(monkeypatch):
+    """Cover the torchtext fallback of GloveEmbedder.default() with an
+    injected fake module (torchtext itself is not in this image and the
+    real path downloads — egress-blocked). Pins the contract the branch
+    relies on: pretrained_aliases factory -> object with .stoi dict and
+    .vectors tensor exposing .numpy()."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from flashvtg_tpu.data.glove import GloveEmbedder
+
+    class FakeVectors:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def numpy(self):
+            return self._arr
+
+    class FakeGlove:
+        stoi = {"hello": 0, "world": 1}
+        vectors = FakeVectors(
+            np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], np.float32)
+        )
+
+    fake_vocab = types.SimpleNamespace(
+        pretrained_aliases={"glove.6B.300d": lambda: FakeGlove()}
+    )
+    fake_tt = types.ModuleType("torchtext")
+    fake_tt.vocab = fake_vocab
+    monkeypatch.setitem(sys.modules, "torchtext", fake_tt)
+    monkeypatch.setitem(sys.modules, "torchtext.vocab", fake_vocab)
+    monkeypatch.delenv("FLASHVTG_GLOVE_PATH", raising=False)
+
+    emb = GloveEmbedder.default()
+    out = emb("Hello unknown WORLD")
+    np.testing.assert_array_equal(out[0], [1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(out[1], [0.0, 0.0, 0.0])  # OOV -> zeros
+    np.testing.assert_array_equal(out[2], [4.0, 5.0, 6.0])
+
+
+def test_glove_default_error_message(monkeypatch):
+    """No env path + no torchtext -> actionable RuntimeError."""
+    import builtins
+
+    import pytest
+
+    from flashvtg_tpu.data.glove import GloveEmbedder
+
+    monkeypatch.delenv("FLASHVTG_GLOVE_PATH", raising=False)
+    real_import = builtins.__import__
+
+    def block_torchtext(name, *a, **k):
+        if name.startswith("torchtext"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", block_torchtext)
+    with pytest.raises(RuntimeError, match="FLASHVTG_GLOVE_PATH"):
+        GloveEmbedder.default()

@@ -116,9 +116,10 @@ def test_eval_forward_parity(pair, lv_valid, lq_valid):
 
     # per-point blended logits and coords, mapped level-by-level between the
     # reference's compact concat and our padded concat. conf_head's conv
-    # windows cross level boundaries, so positions within kernel//2 of a
-    # boundary legitimately differ when a level is shorter than its static
-    # size — excluded below.
+    # windows cross level boundaries; the model compacts valid rows before
+    # that conv (models/flashvtg.py), so every strictly-valid position —
+    # including the kernel//2 level-boundary rows round 2 excluded — must
+    # now match the reference bit-tight.
     from flashvtg_tpu.models.points import pyramid_level_sizes
 
     static_sizes = pyramid_level_sizes(LV, model.cfg.strides)
@@ -136,14 +137,11 @@ def test_eval_forward_parity(pair, lv_valid, lq_valid):
     my_logits = np.asarray(out["out_class"])[0, :, 0]
     my_coords = np.asarray(out["out_coord"])[0]
 
-    margin = args.kernel_size // 2
     aligned = lv_valid == LV
     ref_off = my_off = 0
     for vs, ss in zip(valid_sizes, static_sizes):
-        lo = 0 if aligned else margin
-        hi = vs if aligned else vs - margin
-        sl_ref = slice(ref_off + lo, ref_off + hi)
-        sl_my = slice(my_off + lo, my_off + hi)
+        sl_ref = slice(ref_off, ref_off + vs)
+        sl_my = slice(my_off, my_off + vs)
         np.testing.assert_allclose(
             my_logits[sl_my], ref_logits[sl_ref], atol=3e-4
         )

@@ -158,6 +158,45 @@ def test_hl_fuzz_bit_identical_to_python():
                                           err_msg=f"query {q}")
 
 
+def test_hl_nan_scores_match_python():
+    """NaN saliency scores must sort last (numpy mergesort semantics) and
+    not trip UB in std::stable_sort (ADVICE r2: strict-weak-ordering)."""
+    from flashvtg_tpu.eval.metrics import binary_ap
+    from flashvtg_tpu.runtime import hl_ap_batch
+
+    rng = np.random.default_rng(31)
+    scores_list, labels_list = [], []
+    for _ in range(6):
+        n = int(rng.integers(4, 60))
+        s = np.round(rng.standard_normal(n), 1)
+        s[rng.random(n) < 0.3] = np.nan
+        scores_list.append(s.astype(np.float64))
+        labels_list.append(rng.integers(0, 2, (9, n)).astype(float))
+    got = hl_ap_batch(scores_list, labels_list)
+    assert got is not None
+    for q in range(len(scores_list)):
+        want = [
+            binary_ap(labels_list[q][k], scores_list[q]) for k in range(9)
+        ]
+        np.testing.assert_array_equal(got[q], np.asarray(want, np.float64),
+                                      err_msg=f"query {q}")
+
+
+def test_mr_ap_rejects_malformed_windows():
+    """Rows with <3 columns must raise a clear error, not silently
+    reinterpret offsets (ADVICE r2: reshape-based corruption)."""
+    import pytest
+
+    from flashvtg_tpu.runtime import mr_ap_batch, mr_ap_native_available
+
+    if not mr_ap_native_available():
+        pytest.skip("native mrap unavailable")
+    bad = [np.array([[0.0, 1.0], [1.0, 2.0], [2.0, 3.0]])]  # (3, 2): 2*3%3==0
+    gts = [np.array([[0.0, 1.0]])]
+    with pytest.raises(ValueError, match="3 columns"):
+        mr_ap_batch(bad, gts, [0.5])
+
+
 def test_full_suite_unchanged_by_native_path(monkeypatch):
     """compute_mr_ap with the kernel force-disabled equals the default
     (native) path on a random submission-style batch."""
