@@ -96,10 +96,12 @@ def build_device_feed(
     total = 0
     for k, v in host.items():
         total += v.nbytes
-        feed[k] = (
-            jax.device_put(v, sharding) if sharding is not None
-            else jax.device_put(v)
-        )
+        if sharding is not None:
+            from flashvtg_tpu.parallel.mesh import put_replicated_global
+
+            feed[k] = put_replicated_global(v, sharding)
+        else:
+            feed[k] = jax.device_put(v)
     import weakref
 
     _LIVE_FEEDS.append((weakref.ref(next(iter(feed.values()))), total))

@@ -47,9 +47,25 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
+def put_replicated_global(value, sharding):
+    """Replicated placement that also works when `sharding` spans processes.
+
+    jax.device_put only targets addressable devices; on a multi-controller
+    mesh every host holds the same full copy (callers guarantee value
+    equality across hosts — same seed / same dataset), so the global array
+    is assembled from each process's local copy instead."""
+    if jax.process_count() > 1 and len(sharding.device_set) > len(
+        sharding.addressable_devices
+    ):
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(value)
+        )
+    return jax.device_put(value, sharding)
+
+
 def replicate_params(mesh: Mesh, params):
     rep = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), params)
+    return jax.tree.map(lambda x: put_replicated_global(x, rep), params)
 
 
 def shard_rows_for_host(rows, process_index: Optional[int] = None,

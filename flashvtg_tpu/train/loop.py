@@ -197,10 +197,16 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
     """Eval pass; returns (metrics, metrics_nms, eval_losses). `loss_cfg`
     additionally evaluates the criterion on the eval split (reference logs
     per-epoch eval losses, inference.py:300-306 + train.py:183-184).
-    `mesh` runs the eval data-parallel (params must be replicated over it)."""
+    `mesh` runs the eval data-parallel (params must be replicated over it).
+    On multi-controller runs every host computes (redundant local eval, see
+    train()) but only process 0 writes the submission/metric files."""
+    is_proc0 = jax.process_index() == 0
     if cfg.dset_name in ("tvsum", "youtube_uni"):
         metrics = run_hl_inference(cfg, model, params, eval_dataset, mesh=mesh)
-        save_jsonl([metrics], os.path.join(results_dir, f"{tag}_metric.jsonl"))
+        if is_proc0:
+            save_jsonl(
+                [metrics], os.path.join(results_dir, f"{tag}_metric.jsonl")
+            )
         return metrics, None, {}
     t0 = time.time()
     submission, submission_nms, eval_losses = run_mr_inference(
@@ -210,7 +216,8 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
     sub_path = os.path.join(
         results_dir, f"{tag}_{cfg.dset_name}_{cfg.eval_split_name}_preds.jsonl"
     )
-    save_jsonl(submission, sub_path)
+    if is_proc0:
+        save_jsonl(submission, sub_path)
     metrics = metrics_nms = None
     if cfg.eval_split_name == "val":
         from flashvtg_tpu.eval.metrics import eval_submission
@@ -221,26 +228,39 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
             "eval timing: infer %.2fs, metrics %.2fs (%d queries)",
             infer_s, time.time() - t0, len(submission),
         )
-        save_json(metrics, sub_path.replace(".jsonl", "_metrics.json"), pretty=True)
-        if submission_nms is not None:
-            save_jsonl(
-                submission_nms,
-                sub_path.replace(".jsonl", f"_nms_thd_{cfg.nms_thd}.jsonl"),
+        if is_proc0:
+            save_json(
+                metrics, sub_path.replace(".jsonl", "_metrics.json"),
+                pretty=True,
             )
+        if submission_nms is not None:
+            if is_proc0:
+                save_jsonl(
+                    submission_nms,
+                    sub_path.replace(".jsonl", f"_nms_thd_{cfg.nms_thd}.jsonl"),
+                )
             metrics_nms = eval_submission(
                 submission_nms, eval_dataset.data, verbose=False
             )
-            save_json(
-                metrics_nms,
-                sub_path.replace(".jsonl", f"_nms_thd_{cfg.nms_thd}_metrics.json"),
-                pretty=True,
-            )
+            if is_proc0:
+                save_json(
+                    metrics_nms,
+                    sub_path.replace(
+                        ".jsonl", f"_nms_thd_{cfg.nms_thd}_metrics.json"
+                    ),
+                    pretty=True,
+                )
     return metrics, metrics_nms, eval_losses
 
 
 def save_checkpoint(path: str, params, opt_state, epoch: int, cfg):
     """Full train state: params + optimizer state + epoch (reference saves
-    {model, optimizer, lr_scheduler, epoch, opt}, train.py:200-233)."""
+    {model, optimizer, lr_scheduler, epoch, opt}, train.py:200-233).
+
+    Multi-controller: EVERY process must call this — orbax coordinates
+    internally (primary host writes, the rest join its save barriers; a
+    single-caller save deadlocks on `_Checkpointer:save_start`). Only the
+    opt.json sidecar is process-0-gated."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -254,7 +274,10 @@ def save_checkpoint(path: str, params, opt_state, epoch: int, cfg):
         force=True,
     )
     ckptr.wait_until_finished()
-    cfg.save(os.path.join(os.path.dirname(os.path.abspath(path)), "opt.json"))
+    if jax.process_index() == 0:
+        cfg.save(
+            os.path.join(os.path.dirname(os.path.abspath(path)), "opt.json")
+        )
 
 
 def load_checkpoint(path: str, like=None, opt_state_like=None):
@@ -419,6 +442,43 @@ def _prefetched(fn, n: int, depth: int = 2):
                 break
 
 
+def find_auto_resume(cfg) -> Optional[str]:
+    """Crash-recovery checkpoint discovery for `--resume auto`.
+
+    Returns the newest `model_latest` under `cfg.results_root` whose run dir
+    holds an opt.json matching THIS experiment's (dset_name, ctx_mode,
+    exp_id) — scoped so a different experiment's checkpoint (possibly
+    different shapes, or worse, same shapes resumed silently) is never
+    picked up. Orbax checkpoints are atomic: a partial save never finalizes,
+    so the newest finalized dir is always consistent."""
+    import glob as _glob
+    import json as _json
+
+    def _same_experiment(ckpt_dir):
+        opt_path = os.path.join(os.path.dirname(ckpt_dir), "opt.json")
+        try:
+            with open(opt_path) as f:
+                saved = _json.load(f)
+        except (OSError, ValueError):
+            return False
+        return all(
+            saved.get(k) == getattr(cfg, k)
+            for k in ("dset_name", "ctx_mode", "exp_id")
+        )
+
+    candidates = sorted(
+        (
+            c
+            for c in _glob.glob(
+                os.path.join(cfg.results_root, "*", "model_latest")
+            )
+            if _same_experiment(c)
+        ),
+        key=os.path.getmtime,
+    )
+    return candidates[-1] if candidates else None
+
+
 def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     """Full training run; returns (best_params, best_score, results_dir).
 
@@ -429,13 +489,17 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         f"{cfg.dset_name}-{cfg.ctx_mode}-{cfg.exp_id}-{time.strftime('%Y-%m-%d-%H-%M-%S')}",
     )
     os.makedirs(results_dir, exist_ok=True)
-    cfg.save(os.path.join(results_dir, "opt.json"))
-    try:
-        from flashvtg_tpu.utils.snapshot import snapshot_code
+    # multi-controller runs: process 0 owns every file artifact (opt.json,
+    # snapshot, scalars, submissions, checkpoints); the others compute
+    is_proc0 = jax.process_index() == 0
+    if is_proc0:
+        cfg.save(os.path.join(results_dir, "opt.json"))
+        try:
+            from flashvtg_tpu.utils.snapshot import snapshot_code
 
-        snapshot_code(results_dir)
-    except Exception as e:  # snapshot failures must never kill training
-        logger.warning("code snapshot failed: %s", e)
+            snapshot_code(results_dir)
+        except Exception as e:  # snapshot failures must never kill training
+            logger.warning("code snapshot failed: %s", e)
 
     train_dataset = VTGDataset(_dataset_cfg(cfg, cfg.train_path, train=True))
     eval_dataset = (
@@ -486,8 +550,13 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
 
     def put_replicated(tree):
         if rep_sh is not None:
+            from flashvtg_tpu.parallel.mesh import put_replicated_global
+
             return jax.tree.map(
-                lambda x: jax.device_put(x, rep_sh) if hasattr(x, "shape") else x,
+                lambda x: (
+                    put_replicated_global(x, rep_sh)
+                    if hasattr(x, "shape") else x
+                ),
                 tree,
             )
         return tree
@@ -514,18 +583,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     opt_state = tx.init(params)
     start_epoch_override = None
     if cfg.resume == "auto":
-        # crash-recovery: resume from the newest model_latest under
-        # results_root (orbax checkpoints are atomic — a partial save never
-        # finalizes, so the newest finalized dir is always consistent)
-        import glob as _glob
-
-        candidates = sorted(
-            _glob.glob(os.path.join(cfg.results_root, "*", "model_latest")),
-            key=os.path.getmtime,
-        )
-        cfg = cfg.replace(
-            resume=candidates[-1] if candidates else None, resume_all=True
-        )
+        cfg = cfg.replace(resume=find_auto_resume(cfg), resume_all=True)
         if cfg.resume:
             logger.info("auto-resume from %s", cfg.resume)
     if cfg.resume:
@@ -555,6 +613,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     writer = ScalarWriter(
         os.path.join(results_dir, "tensorboard_log"),
         use_tensorboard=cfg.use_tensorboard,
+        enabled=is_proc0,
     )
 
     # --- HBM-resident feature feed (data/feed.py): one-time transfer of the
@@ -603,6 +662,14 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             f"bsz={cfg.bsz} must be divisible by process_count={pc}"
         )
     local_bsz = cfg.bsz // pc
+    # multi-controller eval strategy: every host evaluates the FULL eval
+    # split redundantly on its own local chips (eval is deterministic, so
+    # each host reaches identical metrics and the identical best/early-stop
+    # decision with zero cross-host result gathering; eval cost is dwarfed
+    # by training between evals). Process 0 alone writes files.
+    eval_mesh = mesh
+    if pc > 1:
+        eval_mesh = build_mesh_for(cfg.eval_bsz, devices=jax.local_devices())
     # feed-mode batches skip feature padding entirely: features are gathered
     # on-device from the HBM residents, the host ships labels + indices
     step_collator = (
@@ -650,10 +717,12 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         )
         # on-device loss accumulator: one (steps, K) fetch per epoch
         loss_buf = np.zeros((steps_per_epoch, len(keys)), np.float32)
-        loss_buf = (
-            jax.device_put(loss_buf, rep_sh) if rep_sh is not None
-            else jnp.asarray(loss_buf)
-        )
+        if rep_sh is not None:
+            from flashvtg_tpu.parallel.mesh import put_replicated_global
+
+            loss_buf = put_replicated_global(loss_buf, rep_sh)
+        else:
+            loss_buf = jnp.asarray(loss_buf)
         def host_batch_for(i):
             """Labels + bookkeeping for step i (features ride the feed in
             feed mode). Pure host work — safe to run one step ahead."""
@@ -734,9 +803,24 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         )
 
         if eval_dataset is not None and (epoch + 1) % cfg.eval_epoch == 0:
+            eval_params = params
+            if pc > 1:
+                # params live on the cross-host mesh; pull the (fully
+                # replicated, hence addressable) copy and re-place it on
+                # this host's local eval mesh
+                from flashvtg_tpu.parallel.mesh import replicate_params
+
+                host_params = jax.tree.map(
+                    lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                    params,
+                )
+                eval_params = (
+                    replicate_params(eval_mesh, host_params)
+                    if eval_mesh is not None else host_params
+                )
             metrics, _, eval_losses = evaluate(
-                cfg, model, params, eval_dataset, results_dir,
-                loss_cfg=loss_cfg, mesh=mesh,
+                cfg, model, eval_params, eval_dataset, results_dir,
+                loss_cfg=loss_cfg, mesh=eval_mesh,
             )
             if eval_losses:
                 writer.write(global_step, eval_losses, prefix="eval/")
@@ -750,6 +834,10 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
                 logger.info("[epoch %d] eval %s", epoch + 1, dict(metrics["brief"]))
                 if score > best_score:
                     best_score, have_best, es_cnt = score, True, 0
+                    # redundant per-host eval -> identical metrics on every
+                    # host, so every process takes this branch consistently
+                    # and joins orbax's collective save (required: orbax
+                    # barriers across all processes; primary host writes)
                     save_checkpoint(
                         os.path.join(results_dir, "model_best"),
                         params, opt_state, epoch, cfg,
@@ -760,7 +848,8 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
                         logger.info("early stop at epoch %d", epoch)
                         break
         save_checkpoint(
-            os.path.join(results_dir, "model_latest"), params, opt_state, epoch, cfg
+            os.path.join(results_dir, "model_latest"),
+            params, opt_state, epoch, cfg,
         )
     writer.close()
     best_params = params

@@ -26,10 +26,17 @@ import numpy as np
 class ScalarWriter:
     """Per-step scalar sink: jsonl always, TensorBoard when available."""
 
-    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+    def __init__(self, log_dir: str, use_tensorboard: bool = True,
+                 enabled: bool = True):
+        """`enabled=False` makes every method a no-op — non-0 processes of a
+        multi-controller run pass this so only one host owns the files."""
+        self._enabled = enabled
+        self._f = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "scalars.jsonl"), "a")
-        self._tb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -39,6 +46,8 @@ class ScalarWriter:
                 self._tb = None
 
     def write(self, step: int, scalars: Dict[str, float], prefix: str = ""):
+        if not self._enabled:
+            return
         row = {"step": step, "time": time.time()}
         for k, v in scalars.items():
             name = f"{prefix}{k}" if prefix else k
@@ -49,7 +58,8 @@ class ScalarWriter:
         self._f.flush()
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._tb is not None:
             self._tb.close()
 

