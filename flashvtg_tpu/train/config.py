@@ -29,6 +29,10 @@ class ExperimentConfig:
     results_root: str = "results"
     train_path: str = ""
     eval_path: str = ""
+    # second eval split, evaluated for model_best AND model_latest after
+    # training like FlashVTG_ms/train.py:243-286 (--test_path,
+    # FlashVTG_ms/config.py:80); empty = off (the FlashVTG trainer's shape)
+    test_path: str = ""
     eval_split_name: str = "val"
     v_feat_dirs: Sequence[str] = ()
     t_feat_dir: str = ""

@@ -193,13 +193,17 @@ def stop_metric(cfg: ExperimentConfig, brief: Dict[str, float]) -> float:
 
 
 def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
-             loss_cfg=None, mesh=None):
+             loss_cfg=None, mesh=None, compute_metrics=None):
     """Eval pass; returns (metrics, metrics_nms, eval_losses). `loss_cfg`
     additionally evaluates the criterion on the eval split (reference logs
     per-epoch eval losses, inference.py:300-306 + train.py:183-184).
     `mesh` runs the eval data-parallel (params must be replicated over it).
     On multi-controller runs every host computes (redundant local eval, see
-    train()) but only process 0 writes the submission/metric files."""
+    train()) but only process 0 writes the submission/metric files.
+    `compute_metrics` overrides the default split-name gate (needed for a
+    --test_path split whose rows carry ground truth)."""
+    if compute_metrics is None:
+        compute_metrics = cfg.eval_split_name == "val"
     is_proc0 = jax.process_index() == 0
     if cfg.dset_name in ("tvsum", "youtube_uni"):
         metrics = run_hl_inference(cfg, model, params, eval_dataset, mesh=mesh)
@@ -219,7 +223,7 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
     if is_proc0:
         save_jsonl(submission, sub_path)
     metrics = metrics_nms = None
-    if cfg.eval_split_name == "val":
+    if compute_metrics:
         from flashvtg_tpu.eval.metrics import eval_submission
 
         t0 = time.time()
@@ -670,6 +674,26 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     eval_mesh = mesh
     if pc > 1:
         eval_mesh = build_mesh_for(cfg.eval_bsz, devices=jax.local_devices())
+
+    def _eval_with(prms, dataset, tag, losses=None, compute_metrics=None):
+        if pc > 1:
+            # params live on the cross-host mesh; pull the (fully
+            # replicated, hence addressable) copy and re-place it on this
+            # host's local eval mesh
+            from flashvtg_tpu.parallel.mesh import replicate_params
+
+            host_params = jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x, prms
+            )
+            prms = (
+                replicate_params(eval_mesh, host_params)
+                if eval_mesh is not None else host_params
+            )
+        return evaluate(
+            cfg, model, prms, dataset, results_dir, tag=tag,
+            loss_cfg=losses, mesh=eval_mesh,
+            compute_metrics=compute_metrics,
+        )
     # feed-mode batches skip feature padding entirely: features are gathered
     # on-device from the HBM residents, the host ships labels + indices
     step_collator = (
@@ -803,24 +827,8 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         )
 
         if eval_dataset is not None and (epoch + 1) % cfg.eval_epoch == 0:
-            eval_params = params
-            if pc > 1:
-                # params live on the cross-host mesh; pull the (fully
-                # replicated, hence addressable) copy and re-place it on
-                # this host's local eval mesh
-                from flashvtg_tpu.parallel.mesh import replicate_params
-
-                host_params = jax.tree.map(
-                    lambda x: np.asarray(x) if hasattr(x, "shape") else x,
-                    params,
-                )
-                eval_params = (
-                    replicate_params(eval_mesh, host_params)
-                    if eval_mesh is not None else host_params
-                )
-            metrics, _, eval_losses = evaluate(
-                cfg, model, eval_params, eval_dataset, results_dir,
-                loss_cfg=loss_cfg, mesh=eval_mesh,
+            metrics, _, eval_losses = _eval_with(
+                params, eval_dataset, tag="latest", losses=loss_cfg,
             )
             if eval_losses:
                 writer.write(global_step, eval_losses, prefix="eval/")
@@ -858,4 +866,34 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             os.path.join(results_dir, "model_best"),
             like=params, opt_state_like=opt_state,
         )["params"]
+    if cfg.test_path and eval_dataset is not None:
+        # FlashVTG_ms final evaluations (train.py:243-286): the best AND
+        # latest models, each on the val split AND the --test_path split.
+        test_dataset = VTGDataset(
+            _dataset_cfg(
+                cfg, cfg.test_path,
+                load_labels=cfg.dset_name in ("tvsum", "youtube_uni"),
+            )
+        )
+        # MR metrics need ground-truth windows in the annotations (a held-
+        # out test jsonl without them still gets its predictions written)
+        test_has_gt = bool(test_dataset.data) and (
+            "relevant_windows" in test_dataset.data[0]
+            or cfg.dset_name in ("tvsum", "youtube_uni")
+        )
+        finals = [("latest", params)] + (
+            [("best", best_params)] if have_best else []
+        )
+        for which, prms in finals:
+            m_val, _, _ = _eval_with(prms, eval_dataset, tag=f"val_{which}")
+            m_test, _, _ = _eval_with(
+                prms, test_dataset, tag=f"test_{which}",
+                compute_metrics=test_has_gt,
+            )
+            for split, m in (("val", m_val), ("test", m_test)):
+                if m is not None:
+                    logger.info(
+                        "[final] %s model on %s: %s",
+                        which, split, dict(m["brief"]),
+                    )
     return best_params, best_score, results_dir
