@@ -825,6 +825,19 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             dt,
             " ".join(f"{k} {m.avg:.4f}" for k, m in meters.items()),
         )
+        if is_proc0:
+            # reference-format epoch log line (train.py:93-103,
+            # formatter train.py:249: "{time_str} [Epoch] {epoch:03d}
+            # [Loss] {loss_str}\n")
+            with open(os.path.join(results_dir, "train.log.txt"), "a") as f:
+                f.write(
+                    "{} [Epoch] {:03d} [Loss] {}\n".format(
+                        time.strftime("%Y_%m_%d_%H_%M_%S"), epoch + 1,
+                        " ".join(
+                            f"{k} {m.avg:.4f}" for k, m in meters.items()
+                        ),
+                    )
+                )
 
         if eval_dataset is not None and (epoch + 1) % cfg.eval_epoch == 0:
             metrics, _, eval_losses = _eval_with(
@@ -840,6 +853,25 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             if metrics is not None:
                 score = stop_metric(cfg, metrics["brief"])
                 logger.info("[epoch %d] eval %s", epoch + 1, dict(metrics["brief"]))
+                if is_proc0:
+                    # reference eval.log.txt line (train.py:159-169,
+                    # formatter :250: time [Epoch] e [Loss] ... [Metrics]
+                    # <full metrics json>)
+                    import json as _json
+
+                    with open(
+                        os.path.join(results_dir, "eval.log.txt"), "a"
+                    ) as f:
+                        f.write(
+                            "{} [Epoch] {:03d} [Loss] {} [Metrics] {}\n".format(
+                                time.strftime("%Y_%m_%d_%H_%M_%S"), epoch,
+                                " ".join(
+                                    f"{k} {v:.4f}"
+                                    for k, v in (eval_losses or {}).items()
+                                ),
+                                _json.dumps(metrics),
+                            )
+                        )
                 if score > best_score:
                     best_score, have_best, es_cnt = score, True, 0
                     # redundant per-host eval -> identical metrics on every

@@ -1,0 +1,62 @@
+"""--eval_precision modes: all three run the full eval path and agree.
+
+The hardware-measured metric deltas live in docs/PRECISION.md (CPU
+executes every matmul-precision mode with the same f32 kernels, so this
+test pins the plumbing and the MR-metric agreement contract, not the TPU
+numerics): float32 / tensorfloat32 / bfloat16 must all produce well-formed
+submissions whose MR metrics match within the serving gate.
+"""
+
+import numpy as np
+import pytest
+
+from flashvtg_tpu.data.dataset import VTGDataset
+from flashvtg_tpu.eval.metrics import eval_submission
+from flashvtg_tpu.train.config import from_preset
+from flashvtg_tpu.train.infer import run_mr_inference
+from flashvtg_tpu.train.loop import _dataset_cfg
+from flashvtg_tpu.utils.synthetic import make_synthetic_qvh
+
+import jax
+import jax.numpy as jnp
+
+
+def test_precision_modes_agree(tmp_path):
+    ann, vdir, qdir = make_synthetic_qvh(
+        str(tmp_path), n_queries=16, v_dim=32, t_dim=24, n_clips=16
+    )
+    cfg = from_preset(
+        "qvhighlights_slowclip",
+        v_feat_dim=32, t_feat_dim=24, max_v_l=16, max_q_l=12,
+        hidden_dim=32, dim_feedforward=64, t2v_layers=1, enc_layers=1,
+        dummy_layers=1, num_dummies=2, num_mlp_layers=2, num_conv_layers=1,
+        eval_bsz=8, nms_thd=-1.0,
+        train_path=ann, eval_path=ann, v_feat_dirs=(vdir,), t_feat_dir=qdir,
+    )
+    model = cfg.build_model()
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": rng},
+        jnp.zeros((1, 12, 24)), jnp.ones((1, 12)),
+        jnp.zeros((1, 16, 34)), jnp.ones((1, 16)),
+        train=False,
+    )
+    dataset = VTGDataset(_dataset_cfg(cfg, cfg.eval_path, load_labels=False))
+
+    briefs = {}
+    for prec in ("float32", "tensorfloat32", "bfloat16"):
+        sub, _, _ = run_mr_inference(
+            cfg.replace(eval_precision=prec), model, params, dataset
+        )
+        assert len(sub) == 16
+        for row in sub:
+            w = np.asarray(row["pred_relevant_windows"])
+            assert w.ndim == 2 and w.shape[1] == 3
+            assert np.isfinite(w).all()
+        briefs[prec] = eval_submission(sub, dataset.data, verbose=False)[
+            "brief"
+        ]
+
+    for key in ("MR-full-R1@0.5", "MR-full-R1@0.7", "MR-full-mAP"):
+        vals = [briefs[p][key] for p in briefs]
+        assert max(vals) - min(vals) <= 0.1, (key, briefs)

@@ -52,3 +52,9 @@ def test_test_path_final_evals(tmp_path):
     ))
     assert n_test == 8  # the test split's own rows, not the val split's
     assert np.isfinite(score)
+
+    # reference-format text logs (train.py:93-103 / :159-169)
+    train_log = open(os.path.join(results_dir, "train.log.txt")).read()
+    assert "[Epoch] 001 [Loss]" in train_log
+    eval_log = open(os.path.join(results_dir, "eval.log.txt")).read()
+    assert "[Metrics] {" in eval_log and "MR-full-mAP" in eval_log
