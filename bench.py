@@ -78,14 +78,22 @@ def bench_tpu():
 
     host = np.random.default_rng(0)
     src_txt, txt_mask, src_vid, vid_mask = build_inputs(host)
+    # Production eval (train/infer._strict_or_none) passes point_valid=None
+    # for batches with no padded rows — the strict masks are all-ones there
+    # and the model skips the conf head's compact/scatter (bit-identical,
+    # pinned by test_bucketing). Every bench batch is full-length (LV), so
+    # mirror that decision.
     strict, _ = pyramid_masks_strict(np.full(BATCH, LV), LV, cfg.strides)
+    from flashvtg_tpu.train.infer import _strict_or_none
+
+    strict = _strict_or_none(strict, np.full(BATCH, LV), LV)
 
     # Pre-stage the feature arrays in HBM: the reference preloads the whole
     # dataset into host RAM at dataset init (start_end_dataset.py:153-158);
     # resident features in HBM are the TPU-serving analogue. Every timed
     # iteration fetches the ranked outputs to host — under the axon tunnel
     # block_until_ready does not fence execution, so the fetch is the fence.
-    strict_dev = jax.device_put(strict)
+    strict_dev = None if strict is None else jax.device_put(strict)
     batches = []
     for i in range(0, N_QUERIES, BATCH):
         sl = slice(i, i + BATCH)

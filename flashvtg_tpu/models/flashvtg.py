@@ -268,15 +268,30 @@ class FlashVTGModel(nn.Module):
             # level k's last valid row adjacent to level k+1's first. Under
             # static padding a zero gap would sit between them, deviating at
             # the kernel//2 boundary rows (docs/BUCKETS.md). Compact the
-            # valid rows to the front (stable argsort keeps level order =
-            # the reference's compact concat), convolve, scatter back:
-            # boundary rows now see exactly what the reference's convs see,
-            # and positions past the total valid count read zeros — the
-            # implicit conv zero-padding at the reference's sequence end.
-            order = jnp.argsort(point_valid <= 0, axis=1, stable=True)
-            inv = jnp.argsort(order, axis=1, stable=True)
-            comp = jnp.take_along_axis(cat, order[..., None], axis=1)
-            comp_msk = jnp.take_along_axis(point_valid, order, axis=1)
+            # valid rows to the front (keeping level order = the reference's
+            # compact concat), convolve, scatter back: boundary rows now see
+            # exactly what the reference's convs see, and positions past the
+            # total valid count read zeros — the implicit conv zero-padding
+            # at the reference's sequence end.
+            # The permutation comes from cumsums, not argsort (a TPU sort
+            # network over the point axis costs more than the convs at TACoS
+            # sizes, N~3.8k): valid row i -> slot (#valid before i), invalid
+            # row -> slot (#valid + #invalid before i) — exactly the stable
+            # valid-first order. One scatter builds the compacted layout;
+            # the compacted mask is a prefix of ones by construction.
+            valid = point_valid > 0
+            nv = valid.sum(axis=1, keepdims=True)
+            inv = jnp.where(
+                valid,
+                jnp.cumsum(valid, axis=1) - 1,
+                nv + jnp.cumsum(~valid, axis=1) - 1,
+            )  # target slot of each source row; a permutation per row
+            comp = jnp.zeros_like(cat).at[
+                jnp.arange(b)[:, None], inv
+            ].set(cat)
+            comp_msk = (
+                jnp.arange(cat.shape[1])[None, :] < nv
+            ).astype(point_valid.dtype)
             out_conf = jnp.take_along_axis(
                 conf_head(comp, comp_msk), inv[..., None], axis=1
             )

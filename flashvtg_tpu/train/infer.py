@@ -296,10 +296,26 @@ def _eval_plan(cfg, dataset: VTGDataset):
     return (cfg.max_v_l if cfg.max_v_l > 0 else None), None
 
 
+def _strict_or_none(strict, valid_v_lens, lv):
+    """Drop the strict pyramid mask for batches with no padded rows.
+
+    When every video fills the bucket (valid len == lv) the strict masks are
+    all-ones, so every masked op they feed is an identity — but the model
+    still pays the compact-convolve-scatter of the conf head
+    (models/flashvtg.py) for them. point_valid=None takes the direct path:
+    bit-identical outputs (pinned by test_bucketing), measurably faster on
+    full-length buckets (the common case on QVHighlights, where most videos
+    span the full 75 clips)."""
+    if int(np.min(valid_v_lens)) == lv:
+        return None
+    return strict
+
+
 def _place_and_step(step, params, put, feed, batch, idx, strict):
     """Place one collated batch and invoke the jitted eval step — the one
     spot that knows the feed-mode vs streamed-mode calling conventions
     (shared by the MR and HL dispatch paths)."""
+    extra = {} if strict is None else {"strict": strict}
     if feed is not None:
         from flashvtg_tpu.data.feed import FEED_KEYS
 
@@ -307,10 +323,10 @@ def _place_and_step(step, params, put, feed, batch, idx, strict):
             k: v for k, v in device_arrays(batch).items()
             if k not in FEED_KEYS
         })
-        placed = put({"idx": np.asarray(idx, np.int32), "strict": strict})
-        return step(params, small, placed["idx"], feed, placed["strict"])
-    placed = put({**device_arrays(batch), "strict": strict})
-    strict_dev = placed.pop("strict")
+        placed = put({"idx": np.asarray(idx, np.int32), **extra})
+        return step(params, small, placed["idx"], feed, placed.get("strict"))
+    placed = put({**device_arrays(batch), **extra})
+    strict_dev = placed.pop("strict", None)
     return step(params, placed, strict_dev)
 
 
@@ -372,6 +388,7 @@ def run_mr_inference(
         strict, counts = pyramid_masks_strict(
             batch["valid_v_lens"], lv, cfg.strides
         )
+        strict = _strict_or_none(strict, batch["valid_v_lens"], lv)
         dev = _place_and_step(step, params, put, feed, batch, idx, strict)
         return counts, lv, dev
 
@@ -506,6 +523,7 @@ def run_hl_inference(cfg, model: FlashVTGModel, params, dataset: VTGDataset,
         real, idx, batch = item
         lv = fixed_v_len if feed is not None else batch["src_vid"].shape[1]
         strict, _ = pyramid_masks_strict(batch["valid_v_lens"], lv, cfg.strides)
+        strict = _strict_or_none(strict, batch["valid_v_lens"], lv)
         return _place_and_step(step, params, put, feed, batch, idx, strict)
 
     preds, labels = [], []

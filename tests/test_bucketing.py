@@ -108,6 +108,52 @@ def test_bucket_invariance(tmp_path, pair_lengths):
     assert long_rows[:, 1].max() <= 400.0  # 200 clips * 2s
 
 
+def test_full_batch_strict_fast_path():
+    """For a batch with no padded rows the strict pyramid masks are all-ones
+    and the eval step must be BIT-identical with point_valid=None — the fast
+    path _strict_or_none takes to skip the conf head's compact/scatter."""
+    import jax.numpy as jnp
+
+    from flashvtg_tpu.models.points import pyramid_masks_strict
+    from flashvtg_tpu.train.infer import _strict_or_none, make_eval_step
+
+    cfg = from_preset(
+        "tacos",
+        v_feat_dim=V_DIM, t_feat_dim=T_DIM,
+        max_v_l=64, max_q_l=12,
+        num_dummies=3, t2v_layers=1, enc_layers=1, dummy_layers=1,
+        num_conv_layers=2, num_mlp_layers=2,
+        eval_precision="float32",
+    )
+    model = FlashVTGModel(cfg.model_config())
+    rng = np.random.default_rng(3)
+    b, lv, lq = 4, 64, 12
+    src_txt = jnp.asarray(rng.standard_normal((b, lq, T_DIM)), jnp.float32)
+    src_vid = jnp.asarray(rng.standard_normal((b, lv, V_DIM + 2)), jnp.float32)
+    ones_t, ones_v = jnp.ones((b, lq)), jnp.ones((b, lv))
+    params = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0)},
+        src_txt, ones_t, src_vid, ones_v, train=False,
+    )
+    batch = {
+        "src_txt": src_txt, "src_txt_mask": ones_t,
+        "src_vid": src_vid, "src_vid_mask": ones_v,
+    }
+    lens = np.full(b, lv)
+    strict, _ = pyramid_masks_strict(lens, lv, cfg.strides)
+    assert (strict == 1).all()
+    assert _strict_or_none(strict, lens, lv) is None
+    # one short row -> strict masks must be kept
+    assert _strict_or_none(strict, np.array([lv, lv - 1, lv, lv]), lv) is not None
+
+    step = make_eval_step(model, cfg.max_num_moment, "float32")
+    spans_m, scores_m, sal_m, _ = step(params, batch, jnp.asarray(strict))
+    spans_n, scores_n, sal_n, _ = step(params, batch, None)
+    np.testing.assert_array_equal(np.asarray(spans_m), np.asarray(spans_n))
+    np.testing.assert_array_equal(np.asarray(scores_m), np.asarray(scores_n))
+    np.testing.assert_array_equal(np.asarray(sal_m), np.asarray(sal_n))
+
+
 def test_bucket_eval_matches_fixed(tmp_path):
     """cfg.bucket_eval=True (duration-sorted, per-batch buckets) produces
     the same per-qid submission as fixed max-length padding."""
