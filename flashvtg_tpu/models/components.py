@@ -14,6 +14,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def sine_position_embedding(
@@ -36,8 +37,15 @@ def sine_position_embedding(
     if normalize:
         eps = 1e-6
         x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
-    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
-    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    # dim_t is static — build it host-side in float64 and round once. XLA's
+    # on-device f32 pow (exp(y*log x) in f32) is ~3e-6 rel off libm powf,
+    # which put every position feature ~1e-5 away from the torch oracle's
+    # (position_encoding.py:66-67 computes in f32 via libm); f64-then-round
+    # is correctly rounded and lands within 1 ulp of the reference.
+    dim_np = np.arange(num_pos_feats, dtype=np.float64)
+    dim_t = jnp.asarray(
+        (temperature ** (2 * (dim_np // 2) / num_pos_feats)).astype(np.float32)
+    )
     pos = x_embed[:, :, None] / dim_t  # (B, L, F)
     pos = jnp.stack([jnp.sin(pos[:, :, 0::2]), jnp.cos(pos[:, :, 1::2])], axis=3)
     return pos.reshape(pos.shape[0], pos.shape[1], -1)

@@ -165,10 +165,17 @@ class FlashVTGMSModel(nn.Module):
         src_emb = context_agg + vid_emb
         src_emb = src_emb + pos_vid
         src_emb = t_sa(src_emb, src_vid_mask, deterministic=det)
-        saliency = sal_proj(src_emb, src_vid_mask)
+        # train: the reference's Saliency_proj global pool is an UNMASKED
+        # mean over the batch-padded length (LGI.py:686 x.mean(1)), and the
+        # pyramid convolves the un-zeroed padded positions (model.py:210);
+        # reproduce that bleed exactly (same resolution as the core model,
+        # docs/PARITY.md "padded-bleed"; pinned by test_ms_grad_parity's
+        # short-row case). eval: bsz=1 unpadded in the reference, where the
+        # masked mean / zeroing are identical and saner under static padding.
+        saliency = sal_proj(src_emb, None if train else src_vid_mask)
 
         # --- pyramid + heads on the fused embedding (:209-227) ---
-        src_emb_h = src_emb * src_vid_mask[..., None]
+        src_emb_h = src_emb * src_vid_mask[..., None] if det else src_emb
         pymid, _ = ConvPyramid(cfg.strides, name="pyramid")(src_emb_h)
         pymid_msk = pyramid_masks_pool(src_vid_mask, cfg.strides)
         points = jnp.asarray(generate_points(lv, cfg.strides))
@@ -261,7 +268,9 @@ class FlashVTGMSModel(nn.Module):
             memory_neg, attn_neg = trunk(txt_d_neg, txt_d_valid)
             fused_neg = context_agg_neg + memory_neg + pos_vid
             fused_neg = t_sa(fused_neg, src_vid_mask, deterministic=det)
-            out["saliency_scores_neg"] = sal_proj(fused_neg, src_vid_mask)
+            # unmasked global mean, as on the positive train path (the
+            # reference's neg rows keep the same batch-padded length)
+            out["saliency_scores_neg"] = sal_proj(fused_neg, None)
             out["t2vattnvalues_neg"] = jnp.clip(
                 attn_neg[:, :, nd:][..., 0], 0.0, 1.0
             )
