@@ -156,6 +156,12 @@ class ExperimentConfig:
     # txt_drop_ratio randomness); measured ~23x steps/s on the tunneled v5e
     device_feed: str = "auto"  # auto | on | off
     device_feed_budget_gb: float = 8.0
+    # feed mode only: fuse this many train steps into one dispatch via
+    # lax.scan (same math + same dropout-key chain as the per-step path;
+    # pinned by test_scan_epoch). Amortizes the per-dispatch host<->TPU
+    # latency that otherwise dominates short-video train steps. 0/1 = off;
+    # auto-disabled under --debug / --debug_nans for step granularity.
+    scan_steps: int = 16
     # chunked+remat'd encoder self-attention beyond this Lv (0 = never) —
     # the long-video presets (max_v_l=2048) would otherwise materialize
     # (B, H, L, L) attention logits in every encoder layer

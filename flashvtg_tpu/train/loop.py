@@ -141,6 +141,35 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
         )
         return params, opt_state, loss_buf
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def epoch_scan_feed(params, opt_state, loss_buf, i0, small_stack,
+                        idx_stack, feed, subs):
+        """K train steps in ONE dispatch: lax.scan over stacked per-step
+        labels (K, B, ...), feed row indices (K, B) and dropout keys (K,).
+
+        Same math as K epoch_step_feed calls with the same keys — what it
+        removes is the per-step dispatch + transfer latency of the
+        host<->TPU link, which dominates the wall clock once device compute
+        per step is ~tens of ms (docs/KERNELS.md, train-step profile:
+        21.5 ms device vs 46 ms wall at the flagship shape)."""
+
+        def body(carry, xs):
+            p, o = carry
+            small, idx, sub = xs
+            batch = dict(small)
+            for k, store in feed.items():
+                batch[k] = store[idx]
+            p, o, vec = _update(p, o, batch, sub)
+            return (p, o), vec
+
+        (params, opt_state), vecs = jax.lax.scan(
+            body, (params, opt_state), (small_stack, idx_stack, subs)
+        )
+        loss_buf = jax.lax.dynamic_update_slice(
+            loss_buf, vecs.astype(loss_buf.dtype), (i0, 0)
+        )
+        return params, opt_state, loss_buf
+
     def run_step(params, opt_state, batch, rng):
         params, opt_state, vec = step(params, opt_state, batch, rng)
         host = np.asarray(vec)
@@ -149,6 +178,7 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
     run_step.device_step = step
     run_step.epoch_step = epoch_step
     run_step.epoch_step_feed = epoch_step_feed
+    run_step.epoch_scan_feed = epoch_scan_feed
     run_step.loss_keys = list(keys)
     run_step.keys = lambda: list(keys)
     return run_step
@@ -403,6 +433,22 @@ def build_mesh_for(bsz: int, devices=None):
     return make_mesh(ordered, data=k * pc, model=1)
 
 
+@functools.partial(jax.jit, static_argnums=1)
+def _key_chain(rng, k: int):
+    """Advance `rng` by k sequential jax.random.split calls in ONE dispatch.
+
+    Bit-identical to the host loop `rng, sub = jax.random.split(rng)`
+    repeated k times (same unpack order), so the scan epoch path sees the
+    exact dropout-key stream the per-step path would. Returns
+    (advanced rng, stacked subs of shape (k,))."""
+
+    def body(r, _):
+        r, sub = jax.random.split(r)
+        return r, sub
+
+    return jax.lax.scan(body, rng, None, length=k)
+
+
 def _prefetched(fn, n: int, depth: int = 2):
     """Yield (i, fn(i)) for i in range(n), computed by ONE worker thread up
     to `depth` items ahead of the consumer. Sequential single-worker order
@@ -551,6 +597,21 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
                 }
             return {k: jax.device_put(v, data_sh) for k, v in host_batch.items()}
         return {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    def put_chunk(host_stack):
+        """Place {key: (K, B, ...)} stacks with the BATCH axis (axis 1)
+        split over the data mesh — the scan-epoch layout of put_batch."""
+        if data_sh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            csh = NamedSharding(mesh, P(None, "data"))
+            if jax.process_count() > 1:
+                return {
+                    k: jax.make_array_from_process_local_data(csh, v)
+                    for k, v in host_stack.items()
+                }
+            return {k: jax.device_put(v, csh) for k, v in host_stack.items()}
+        return {k: jnp.asarray(v) for k, v in host_stack.items()}
 
     def put_replicated(tree):
         if rep_sh is not None:
@@ -762,15 +823,64 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
                 )
             return idx, host_batch
 
+        # feed mode: fuse scan_steps train steps per dispatch (lax.scan) —
+        # the per-dispatch tunnel latency otherwise dominates short-video
+        # steps (docs/KERNELS.md train profile). Off under --debug /
+        # --debug_nans (per-step granularity for inspection).
+        scan_k = (
+            cfg.scan_steps
+            if feed is not None and not cfg.debug and not cfg.debug_nans
+            else 0
+        )
         steps_done = 0
         with trace_ctx:
             # single-worker lookahead: the per-step label resampling /
             # collation (python-heavy, RNG-parity-bound) overlaps the
-            # device compute of the previous step. One worker consuming
-            # i in order keeps the dataset's label RNG stream identical
-            # to the inline loop (pinned by test_multichip's train
-            # equivalence).
-            for i, made in _prefetched(host_batch_for, steps_per_epoch):
+            # device compute of the previous step/chunk. One worker
+            # consuming i in order keeps the dataset's label RNG stream
+            # identical to the inline loop (pinned by test_multichip's
+            # train equivalence and test_scan_epoch).
+            if scan_k > 1:
+                n_chunks = (steps_per_epoch + scan_k - 1) // scan_k
+
+                def chunk_for(ci):
+                    made = [
+                        host_batch_for(i)
+                        for i in range(
+                            ci * scan_k,
+                            min((ci + 1) * scan_k, steps_per_epoch),
+                        )
+                    ]
+                    made = [m for m in made if m is not None]
+                    if not made:
+                        return None
+                    idx_stack = np.stack(
+                        [np.asarray(m[0], np.int32) for m in made]
+                    )
+                    small = {
+                        k: np.stack([m[1][k] for m in made])
+                        for k in made[0][1]
+                        if k not in FEED_KEYS
+                    }
+                    return idx_stack, small
+
+                for _, made in _prefetched(chunk_for, n_chunks):
+                    if made is None:
+                        continue
+                    idx_stack, small = made
+                    k = len(idx_stack)
+                    rng, subs = _key_chain(rng, k)
+                    params, opt_state, loss_buf = step_fn.epoch_scan_feed(
+                        params, opt_state, loss_buf,
+                        jnp.asarray(steps_done, jnp.int32),
+                        put_chunk(small),
+                        put_chunk({"idx": idx_stack})["idx"],
+                        feed, subs,
+                    )
+                    global_step += k
+                    steps_done += k
+            else:
+              for i, made in _prefetched(host_batch_for, steps_per_epoch):
                 if made is None:
                     continue
                 idx, host_batch = made

@@ -153,11 +153,56 @@ def main():
     spsf = STEPS / dtf
     log(f"device-feed: {STEPS} steps in {dtf:.3f}s -> {spsf:.2f} steps/s "
         f"({spsf * BSZ:.0f} samples/s)")
+
+    # --- scan epoch (production default, train/loop.py epoch_scan_feed):
+    # K steps fused into ONE dispatch, amortizing the per-step dispatch +
+    # transfer latency of the host<->TPU link ---
+    from flashvtg_tpu.train.loop import _key_chain
+
+    K = max(2, min(cfg.scan_steps, STEPS))
+    loss_buf = jnp.asarray(np.zeros((STEPS, len(keys)), np.float32))
+    small_stack = {
+        k: jnp.asarray(np.stack([batches[j % len(batches)][k]
+                                 for j in range(K)]))
+        for k in small_keys
+    }
+    idx_stack = jnp.asarray(
+        (np.arange(K * BSZ).reshape(K, BSZ) % n_rows).astype(np.int32)
+    )
+    r, subs = _key_chain(r, K)
+    t0 = time.perf_counter()
+    params, opt_state, loss_buf = step.epoch_scan_feed(
+        params, opt_state, loss_buf, jnp.asarray(0, jnp.int32),
+        small_stack, idx_stack, feed, subs,
+    )
+    np.asarray(loss_buf[0])
+    log(f"scan warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    loss_buf = jnp.asarray(np.zeros((STEPS, len(keys)), np.float32))
+    t0 = time.perf_counter()
+    done = 0
+    while done + K <= STEPS:
+        r, subs = _key_chain(r, K)
+        params, opt_state, loss_buf = step.epoch_scan_feed(
+            params, opt_state, loss_buf, jnp.asarray(done, jnp.int32),
+            small_stack, idx_stack, feed, subs,
+        )
+        done += K
+    host_losses = np.asarray(loss_buf)[:done]
+    dts = time.perf_counter() - t0
+    assert np.isfinite(host_losses).all()
+    spss = done / dts
+    log(f"scan epoch (K={K}): {done} steps in {dts:.3f}s -> "
+        f"{spss:.2f} steps/s ({spss * BSZ:.0f} samples/s)")
+
     out = {
         "preset": PRESET,
         "batch": BSZ,
         "train_steps_per_sec_feed": round(spsf, 2),
         "samples_per_sec_feed": round(spsf * BSZ, 1),
+        "train_steps_per_sec_scan": round(spss, 2),
+        "samples_per_sec_scan": round(spss * BSZ, 1),
+        "scan_speedup_vs_per_step_feed": round(spss / spsf, 2),
     }
     if sps is not None:
         out["train_steps_per_sec_streamed"] = round(sps, 2)
