@@ -129,12 +129,18 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
         )
         return params, opt_state, loss_buf
 
+    def _gathered(small_batch, idx, feed):
+        """Assemble a full batch: labels from the host + feature tensors
+        gathered on-device from the HBM residents by row index."""
+        batch = dict(small_batch)
+        for k, store in feed.items():
+            batch[k] = store[idx]
+        return batch
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def epoch_step_feed(params, opt_state, loss_buf, ix, small_batch, idx,
                         feed, rng):
-        batch = dict(small_batch)
-        for k, store in feed.items():  # on-device gather from HBM residents
-            batch[k] = store[idx]
+        batch = _gathered(small_batch, idx, feed)
         params, opt_state, vec = _update(params, opt_state, batch, rng)
         loss_buf = jax.lax.dynamic_update_slice(
             loss_buf, vec[None].astype(loss_buf.dtype), (ix, 0)
@@ -156,10 +162,7 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
         def body(carry, xs):
             p, o = carry
             small, idx, sub = xs
-            batch = dict(small)
-            for k, store in feed.items():
-                batch[k] = store[idx]
-            p, o, vec = _update(p, o, batch, sub)
+            p, o, vec = _update(p, o, _gathered(small, idx, feed), sub)
             return (p, o), vec
 
         (params, opt_state), vecs = jax.lax.scan(
@@ -833,67 +836,68 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             else 0
         )
         steps_done = 0
-        with trace_ctx:
-            # single-worker lookahead: the per-step label resampling /
-            # collation (python-heavy, RNG-parity-bound) overlaps the
-            # device compute of the previous step/chunk. One worker
-            # consuming i in order keeps the dataset's label RNG stream
-            # identical to the inline loop (pinned by test_multichip's
-            # train equivalence and test_scan_epoch).
-            if scan_k > 1:
-                n_chunks = (steps_per_epoch + scan_k - 1) // scan_k
 
-                def chunk_for(ci):
-                    made = [
-                        host_batch_for(i)
-                        for i in range(
-                            ci * scan_k,
-                            min((ci + 1) * scan_k, steps_per_epoch),
-                        )
-                    ]
-                    made = [m for m in made if m is not None]
-                    if not made:
-                        return None
-                    idx_stack = np.stack(
-                        [np.asarray(m[0], np.int32) for m in made]
-                    )
-                    small = {
-                        k: np.stack([m[1][k] for m in made])
-                        for k in made[0][1]
-                        if k not in FEED_KEYS
-                    }
-                    return idx_stack, small
+        def small_labels(host_batch):
+            """Labels only — feature tensors ride the HBM-resident feed."""
+            return {
+                k: v for k, v in host_batch.items() if k not in FEED_KEYS
+            }
 
-                for _, made in _prefetched(chunk_for, n_chunks):
-                    if made is None:
-                        continue
-                    idx_stack, small = made
-                    k = len(idx_stack)
-                    rng, subs = _key_chain(rng, k)
-                    params, opt_state, loss_buf = step_fn.epoch_scan_feed(
-                        params, opt_state, loss_buf,
-                        jnp.asarray(steps_done, jnp.int32),
-                        put_chunk(small),
-                        put_chunk({"idx": idx_stack})["idx"],
-                        feed, subs,
+        def run_scan_epoch():
+            """scan_k steps per dispatch (step_fn.epoch_scan_feed)."""
+            nonlocal params, opt_state, loss_buf, rng, global_step, steps_done
+            n_chunks = (steps_per_epoch + scan_k - 1) // scan_k
+
+            def chunk_for(ci):
+                made = [
+                    host_batch_for(i)
+                    for i in range(
+                        ci * scan_k,
+                        min((ci + 1) * scan_k, steps_per_epoch),
                     )
-                    global_step += k
-                    steps_done += k
-            else:
-              for i, made in _prefetched(host_batch_for, steps_per_epoch):
+                ]
+                made = [m for m in made if m is not None]
+                if not made:
+                    return None
+                idx_stack = np.stack(
+                    [np.asarray(m[0], np.int32) for m in made]
+                )
+                small = {
+                    k: np.stack([m[1][k] for m in made])
+                    for k in small_labels(made[0][1])
+                }
+                return idx_stack, small
+
+            for _, made in _prefetched(chunk_for, n_chunks):
+                if made is None:
+                    continue
+                idx_stack, small = made
+                k = len(idx_stack)
+                rng, subs = _key_chain(rng, k)
+                params, opt_state, loss_buf = step_fn.epoch_scan_feed(
+                    params, opt_state, loss_buf,
+                    jnp.asarray(steps_done, jnp.int32),
+                    put_chunk(small),
+                    put_chunk({"idx": idx_stack})["idx"],
+                    feed, subs,
+                )
+                global_step += k
+                steps_done += k
+
+        def run_per_step_epoch():
+            """One dispatch per step (step_fn.epoch_step[_feed])."""
+            nonlocal params, opt_state, loss_buf, rng, global_step, steps_done
+            for i, made in _prefetched(host_batch_for, steps_per_epoch):
                 if made is None:
                     continue
                 idx, host_batch = made
                 rng, sub = jax.random.split(rng)
                 if feed is not None:
                     # HBM-resident features: ship labels + row indices only
-                    small = {
-                        k: v for k, v in host_batch.items()
-                        if k not in FEED_KEYS
-                    }
                     params, opt_state, loss_buf = step_fn.epoch_step_feed(
                         params, opt_state, loss_buf,
-                        jnp.asarray(i, jnp.int32), put_batch(small),
+                        jnp.asarray(i, jnp.int32),
+                        put_batch(small_labels(host_batch)),
                         put_batch({"idx": np.asarray(idx, np.int32)})["idx"],
                         feed, sub,
                     )
@@ -909,6 +913,19 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
                     )
                 global_step += 1
                 steps_done += 1
+
+        with trace_ctx:
+            # single-worker lookahead (_prefetched): the per-step label
+            # resampling / collation (python-heavy, RNG-parity-bound)
+            # overlaps the device compute of the previous step/chunk. One
+            # worker consuming i in order keeps the dataset's label RNG
+            # stream identical to the inline loop (per-step path pinned
+            # sharded by test_multichip [scan_steps=0]; scan path pinned
+            # against it by test_scan_epoch).
+            if scan_k > 1:
+                run_scan_epoch()
+            else:
+                run_per_step_epoch()
         # the single host fetch for the whole epoch
         host_vecs = np.asarray(loss_buf)[:steps_done]
         for s, vec in enumerate(host_vecs):

@@ -161,19 +161,21 @@ def main():
 
     K = max(2, min(cfg.scan_steps, STEPS))
     loss_buf = jnp.asarray(np.zeros((STEPS, len(keys)), np.float32))
-    small_stack = {
-        k: jnp.asarray(np.stack([batches[j % len(batches)][k]
-                                 for j in range(K)]))
+    # host-side stacks: uploaded INSIDE the timed loop, like the production
+    # put_chunk — the per-chunk label+index H2D transfer is part of the cost
+    host_small_stack = {
+        k: np.stack([batches[j % len(batches)][k] for j in range(K)])
         for k in small_keys
     }
-    idx_stack = jnp.asarray(
-        (np.arange(K * BSZ).reshape(K, BSZ) % n_rows).astype(np.int32)
-    )
+    host_idx_stack = (
+        np.arange(K * BSZ).reshape(K, BSZ) % n_rows
+    ).astype(np.int32)
     r, subs = _key_chain(r, K)
     t0 = time.perf_counter()
     params, opt_state, loss_buf = step.epoch_scan_feed(
         params, opt_state, loss_buf, jnp.asarray(0, jnp.int32),
-        small_stack, idx_stack, feed, subs,
+        {k: jnp.asarray(v) for k, v in host_small_stack.items()},
+        jnp.asarray(host_idx_stack), feed, subs,
     )
     np.asarray(loss_buf[0])
     log(f"scan warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
@@ -185,7 +187,8 @@ def main():
         r, subs = _key_chain(r, K)
         params, opt_state, loss_buf = step.epoch_scan_feed(
             params, opt_state, loss_buf, jnp.asarray(done, jnp.int32),
-            small_stack, idx_stack, feed, subs,
+            {k: jnp.asarray(v) for k, v in host_small_stack.items()},
+            jnp.asarray(host_idx_stack), feed, subs,
         )
         done += K
     host_losses = np.asarray(loss_buf)[:done]

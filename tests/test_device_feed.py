@@ -57,7 +57,12 @@ def test_feed_matches_per_sample_collate(env):
 
 
 def test_train_with_feed_matches_streamed(env):
+    # scan_steps=0: this test isolates feed RESIDENCY (gathered features ==
+    # streamed features) at tight tolerance; the scan fast path drifts by
+    # compile-schedule ulps vs the per-step program and has its own
+    # equivalence test (test_scan_epoch).
     root, cfg = env
+    cfg = cfg.replace(scan_steps=0)
     p_on, _, _ = train(
         cfg.replace(device_feed="on"), results_dir=str(root / "run_on")
     )

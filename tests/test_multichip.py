@@ -119,6 +119,10 @@ def _train_cfg(tmp, ann, vdir, qdir, results_root):
         use_neg=True, train_precision="float32", eval_precision="float32",
         train_path=ann, eval_path=ann, v_feat_dirs=(vdir,), t_feat_dir=qdir,
         results_root=results_root, use_tensorboard=False,
+        # scan_steps=0 keeps the PER-STEP feed path under sharded coverage
+        # (the scan path's 1-dev and 8-dev-DP equivalence is pinned by
+        # test_scan_epoch)
+        scan_steps=0,
     )
 
 
