@@ -169,6 +169,13 @@ class ExperimentConfig:
     debug_nans: bool = False  # jax NaN tripwire (reference: detect_anomaly)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     use_tensorboard: bool = True
+    # Mirror of the reference _ms trainer's wandb logging
+    # (FlashVTG_ms/train.py:124-125: wandb.init(project="FlashVTG",
+    # name=run_name, sync_tensorboard=True)). Opt-in; requires the wandb
+    # package — absent it, a warning is logged and jsonl+TB still cover the
+    # same scalars.
+    use_wandb: bool = False
+    wandb_project: str = "FlashVTG"
 
     # ------------------------------------------------------------------
     @property

@@ -682,6 +682,15 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         os.path.join(results_dir, "tensorboard_log"),
         use_tensorboard=cfg.use_tensorboard,
         enabled=is_proc0,
+        wandb_run=(
+            {
+                "project": cfg.wandb_project,
+                "name": os.path.basename(results_dir),
+                "config": dataclasses.asdict(cfg),
+            }
+            if cfg.use_wandb
+            else None
+        ),
     )
 
     # --- HBM-resident feature feed (data/feed.py): one-time transfer of the

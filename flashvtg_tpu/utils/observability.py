@@ -6,7 +6,10 @@ scalars (train.py:84-91), timestamped text logs, permanent
 :389). TPU-native equivalents here:
 
   * ScalarWriter — append-only scalars.jsonl (always) + TensorBoard events
-    when the `tensorboard` package is importable;
+    when the `tensorboard` package is importable + an optional wandb run
+    (the reference's `_ms` trainer always calls wandb.init with
+    sync_tensorboard, FlashVTG_ms/train.py:124-125; here it is opt-in via
+    --use_wandb and degrades to a warning when wandb is not installed);
   * profile_steps — context manager around jax.profiler for device traces;
   * debug_nans / check_finite_tree — opt-in NaN detection (the reference
     pays the anomaly-detect tax on every run; here it's a flag).
@@ -27,12 +30,18 @@ class ScalarWriter:
     """Per-step scalar sink: jsonl always, TensorBoard when available."""
 
     def __init__(self, log_dir: str, use_tensorboard: bool = True,
-                 enabled: bool = True):
+                 enabled: bool = True, wandb_run: Optional[Dict] = None):
         """`enabled=False` makes every method a no-op — non-0 processes of a
-        multi-controller run pass this so only one host owns the files."""
+        multi-controller run pass this so only one host owns the files.
+
+        `wandb_run`, when set, is the kwargs dict for wandb.init (project,
+        name, config, ...) — oracle: the reference `_ms` trainer's
+        unconditional wandb.init (FlashVTG_ms/train.py:124-125). Missing
+        wandb package degrades to a warning, never an error."""
         self._enabled = enabled
         self._f = None
         self._tb = None
+        self._wb = None
         if not enabled:
             return
         os.makedirs(log_dir, exist_ok=True)
@@ -44,6 +53,19 @@ class ScalarWriter:
                 self._tb = SummaryWriter(log_dir)
             except Exception:
                 self._tb = None
+        if wandb_run:
+            try:
+                import wandb
+
+                self._wb = wandb.init(**wandb_run)
+            except ImportError:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "--use_wandb set but the wandb package is not "
+                    "installed; scalars still go to scalars.jsonl"
+                    "%s", " + TensorBoard" if self._tb is not None else "",
+                )
 
     def write(self, step: int, scalars: Dict[str, float], prefix: str = ""):
         if not self._enabled:
@@ -56,12 +78,19 @@ class ScalarWriter:
                 self._tb.add_scalar(name, float(v), step)
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
+        if self._wb is not None:
+            self._wb.log(
+                {k: v for k, v in row.items() if k not in ("step", "time")},
+                step=step,
+            )
 
     def close(self):
         if self._f is not None:
             self._f.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wb is not None:
+            self._wb.finish()
 
 
 @contextlib.contextmanager
