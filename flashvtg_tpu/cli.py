@@ -3,6 +3,8 @@
 Mirrors the reference surface:
     python -m flashvtg_tpu.cli train  <data/MR.py|preset> --dset_name hl ...
     python -m flashvtg_tpu.cli infer  <data/MR.py|preset> --resume ckpt ...
+    python -m flashvtg_tpu.cli export <data/MR.py|preset> --resume <ckpt> \
+        --export_path model.ckpt   # reference-format torch .ckpt out
 The positional config may be a reference-style python model-config file
 (data/MR*.py, data/HD.py) or the name of a built-in preset; every
 ExperimentConfig field is also exposed as a --flag.
@@ -85,9 +87,14 @@ def main(argv=None):
 
     setup()
     mode, rest = argv[0], argv[1:]
+    export_path = None
+    if mode == "export" and "--export_path" in rest:
+        i = rest.index("--export_path")
+        export_path = rest[i + 1]
+        rest = rest[:i] + rest[i + 2 :]
     cfg, overrides = parse_config(rest)
 
-    if mode == "infer" and cfg.resume:
+    if mode in ("infer", "export") and cfg.resume:
         # TestOptions semantics (config.py:189-203): the opt.json saved next
         # to the checkpoint restores the training-time flags; the explicit
         # CLI flags of THIS invocation still win.
@@ -116,6 +123,14 @@ def main(argv=None):
 
         if cfg.resume is None:
             raise SystemExit("--resume <checkpoint> is required for inference")
+        if not os.path.exists(cfg.resume):
+            raise SystemExit(f"--resume: no such checkpoint: {cfg.resume}")
+        if not cfg.eval_path:
+            raise SystemExit(
+                "--eval_path <annotations.jsonl> is required for inference"
+            )
+        if not os.path.exists(cfg.eval_path):
+            raise SystemExit(f"--eval_path: no such file: {cfg.eval_path}")
         model = cfg.build_model()
         if cfg.resume.endswith(".ckpt"):  # torch reference checkpoint
             from flashvtg_tpu.utils.torch_convert import load_torch_checkpoint
@@ -159,7 +174,39 @@ def main(argv=None):
             print("nms:", dict(metrics_nms["brief"]))
         return 0
 
-    raise SystemExit(f"unknown mode {mode!r} (use train|infer)")
+    if mode == "export":
+        # hand a model trained here back to reference-repo users: write a
+        # torch .ckpt their FlashVTG/inference.py --resume loads strict=True
+        if cfg.resume is None or export_path is None:
+            raise SystemExit(
+                "export requires --resume <checkpoint> and "
+                "--export_path <out.ckpt>"
+            )
+        from flashvtg_tpu.utils.torch_convert import (
+            load_torch_checkpoint,
+            save_torch_checkpoint,
+        )
+
+        mc = (
+            cfg.ms_model_config() if cfg.variant == "ms"
+            else cfg.model_config()
+        )
+        epoch = -1
+        if cfg.resume.endswith(".ckpt"):  # torch in, torch out (re-export)
+            params = load_torch_checkpoint(cfg.resume, mc)
+        else:
+            from flashvtg_tpu.train.loop import load_checkpoint
+
+            restored = load_checkpoint(cfg.resume)
+            params = restored["params"]
+            epoch = int(restored.get("epoch", -1))
+        save_torch_checkpoint(
+            export_path, params, mc, variant=cfg.variant, epoch=epoch
+        )
+        print(f"exported reference-format checkpoint to {export_path}")
+        return 0
+
+    raise SystemExit(f"unknown mode {mode!r} (use train|infer|export)")
 
 
 if __name__ == "__main__":

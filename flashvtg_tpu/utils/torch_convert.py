@@ -1,12 +1,22 @@
-"""Reference-checkpoint importer: torch FlashVTG state_dict -> flax params.
+"""Reference-checkpoint importer/exporter: torch state_dict <-> flax params.
 
-Maps the reference's parameter naming (FlashVTG/model.py + transformer.py +
-blocks/) onto the flashvtg_tpu module tree so released checkpoints
-(README.md:93-103 Model Zoo) can be evaluated for accuracy parity, and so the
-test suite can compare layer outputs against the torch oracle.
+Import: maps the reference's parameter naming (FlashVTG/model.py +
+transformer.py + blocks/) onto the flashvtg_tpu module tree so released
+checkpoints (README.md:93-103 Model Zoo) can be evaluated for accuracy
+parity, and so the test suite can compare layer outputs against the torch
+oracle.
 
-All arrays are plain numpy; no torch import is required if the caller already
-has numpy weights (e.g. `{k: v.numpy() for k, v in sd.items()}`).
+Export (`export_state_dict[_ms]` / `save_torch_checkpoint`): the exact
+inverse — a model trained here can be handed back to reference-repo users
+as a `.ckpt` their `inference.py --resume` loads with strict=True. Dead
+reference parameters that our module tree has no counterpart for (the
+always-constructed-but-unreachable `txt_position_embed` when use_txt_pos is
+off, the `_ms` `transformer.fuse_proj` and `t_sa.*.norm1`) are synthesized
+at their torch init values; they influence nothing (verified dead, see
+docs/PARITY.md).
+
+All arrays are plain numpy; no torch import is required except in the
+file-level load/save helpers.
 """
 
 from __future__ import annotations
@@ -339,3 +349,283 @@ def convert_checkpoint_ms(sd, cfg) -> Dict:
         },
     }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax params -> reference-format torch state_dict
+# ---------------------------------------------------------------------------
+
+def _f32(a):
+    return np.asarray(a, dtype=np.float32)
+
+
+def _inv_dense(out, prefix, p):
+    out[f"{prefix}.weight"] = _f32(p["kernel"]).T
+    out[f"{prefix}.bias"] = _f32(p["bias"])
+
+
+def _inv_norm(out, prefix, p):
+    out[f"{prefix}.weight"] = _f32(p["scale"])
+    out[f"{prefix}.bias"] = _f32(p["bias"])
+
+
+def _inv_ffn(out, prefix, p):
+    _inv_dense(out, f"{prefix}.linear1", p["linear1"])
+    _inv_dense(out, f"{prefix}.linear2", p["linear2"])
+    # torch PReLU holds a (1,)-shaped weight
+    out[f"{prefix}.activation.weight"] = _f32(p["act"]["alpha"]).reshape(1)
+
+
+def _inv_self_attention(out, prefix, p):
+    """q/k/v/out Dense -> torch nn.MultiheadAttention packed in_proj."""
+    out[f"{prefix}.in_proj_weight"] = np.concatenate(
+        [_f32(p[x]["kernel"]).T for x in ("q_proj", "k_proj", "v_proj")], 0
+    )
+    out[f"{prefix}.in_proj_bias"] = np.concatenate(
+        [_f32(p[x]["bias"]) for x in ("q_proj", "k_proj", "v_proj")]
+    )
+    _inv_dense(out, f"{prefix}.out_proj", p["out_proj"])
+
+
+def _inv_encoder_layer(out, prefix, p):
+    _inv_self_attention(out, f"{prefix}.self_attn", p["attn"])
+    _inv_ffn(out, prefix, p["ffn"])
+    _inv_norm(out, f"{prefix}.norm1", p["norm1"])
+    _inv_norm(out, f"{prefix}.norm2", p["norm2"])
+
+
+def _inv_t2v_layer(out, prefix, p):
+    # ACA attention has only an out projection (crossattention.py:87-112)
+    _inv_dense(out, f"{prefix}.self_attn.out_proj", p["attn"]["out_proj"])
+    _inv_ffn(out, prefix, p["ffn"])
+    _inv_norm(out, f"{prefix}.norm1", p["norm1"])
+    _inv_norm(out, f"{prefix}.norm2", p["norm2"])
+
+
+def _inv_encoder(out, prefix, p, num_layers, layer_fn=_inv_encoder_layer):
+    for i in range(num_layers):
+        layer_fn(out, f"{prefix}.layers.{i}", p[f"layer{i}"])
+
+
+def _inv_input_proj(out, prefix, p, n_layers):
+    for i in range(n_layers):
+        _inv_norm(out, f"{prefix}.{i}.LayerNorm", p[f"layer{i}"]["norm"])
+        _inv_dense(out, f"{prefix}.{i}.net.1", p[f"layer{i}"]["dense"])
+
+
+def _inv_pyramid(out, p, strides):
+    for j, s in enumerate(strides):
+        pw = int(math.log2(s))
+        if pw == 0:
+            continue  # stride-1 level is a bare parameterless ReLU
+        level = p[f"level{s}"]
+        for i in range(pw):
+            base = 5 * i
+            out[f"pyramid.blocks.{j}.{base + 1}.weight"] = _f32(
+                level[f"conv{i}"]["kernel"]
+            ).transpose(2, 1, 0)
+            out[f"pyramid.blocks.{j}.{base + 1}.bias"] = _f32(
+                level[f"conv{i}"]["bias"]
+            )
+            _inv_norm(out, f"pyramid.blocks.{j}.{base + 3}", level[f"norm{i}"])
+
+
+def _inv_confidence_scorer(out, prefix, p, num_conv_layers, num_mlp_layers):
+    for i in range(num_conv_layers):
+        # flax Conv (k, in, out) -> torch Conv2d (out, in, 1, k)
+        out[f"{prefix}.convs.{i}.weight"] = _f32(
+            p[f"conv{i}"]["kernel"]
+        ).transpose(2, 1, 0)[:, :, None, :]
+        out[f"{prefix}.convs.{i}.bias"] = _f32(p[f"conv{i}"]["bias"])
+    for i in range(num_mlp_layers):
+        _inv_dense(out, f"{prefix}.fc.layers.{i}", p["mlp"][f"layer{i}"])
+
+
+def _inv_coord_head(out, p):
+    for src, dst in (("conv1", "module.1"), ("conv2", "module.3")):
+        out[f"coord_head.{dst}.weight"] = _f32(
+            p[src]["kernel"]
+        ).transpose(2, 1, 0)
+        out[f"coord_head.{dst}.bias"] = _f32(p[src]["bias"])
+
+
+def _inv_txt_position_embed(out, p, cfg):
+    """Always present in the reference state_dict: the module is constructed
+    unconditionally (model.py) even though the standard build path never
+    routes --use_txt_pos to it. Synthesize torch-init values (dead weights)
+    when our tree has no txt_pos params."""
+    if p is not None and "txt_pos" in p:
+        out["txt_position_embed.position_embeddings.weight"] = _f32(
+            p["txt_pos"]["positions"]["embedding"]
+        )
+        _inv_norm(out, "txt_position_embed.LayerNorm", p["txt_pos"]["norm"])
+    else:
+        d = cfg.hidden_dim
+        out["txt_position_embed.position_embeddings.weight"] = np.zeros(
+            (cfg.max_q_l, d), np.float32
+        )
+        out["txt_position_embed.LayerNorm.weight"] = np.ones(d, np.float32)
+        out["txt_position_embed.LayerNorm.bias"] = np.zeros(d, np.float32)
+
+
+def export_state_dict(params, cfg) -> Dict[str, np.ndarray]:
+    """flax FlashVTG params -> reference state_dict (inverse of
+    convert_checkpoint; loads into the reference model with strict=True)."""
+    p = params.get("params", params)
+    out: Dict[str, np.ndarray] = {}
+    out["dummy_rep_token"] = _f32(p["dummy_token"])
+    out["dummy_rep_pos"] = _f32(p["dummy_pos"])
+    out["coef"] = _f32(p["coef"])
+    out["x"] = _f32(p["blend"]).reshape(())
+    _inv_input_proj(out, "input_vid_proj", p["vid_proj"], cfg.n_input_proj)
+    _inv_input_proj(out, "input_txt_proj", p["txt_proj"], cfg.n_input_proj)
+    out["token_type_embeddings.weight"] = _f32(p["token_type"]["embedding"])
+    _inv_encoder(out, "txtproj_encoder", p["dummy_encoder"], cfg.dummy_layers)
+    _inv_encoder(
+        out, "transformer.t2v_encoder", p["t2v_encoder"], cfg.t2v_layers,
+        layer_fn=_inv_t2v_layer,
+    )
+    _inv_encoder(out, "transformer.encoder", p["encoder"], cfg.enc_layers)
+    _inv_dense(out, "saliency_proj1", p["saliency_proj1"])
+    _inv_dense(out, "saliency_proj2", p["saliency_proj2"])
+    _inv_pyramid(out, p["pyramid"], cfg.strides)
+    out["pooling.att.weight"] = _f32(p["pooling"]["att"]["kernel"]).T
+    _inv_confidence_scorer(
+        out, "class_head", p["class_head"], cfg.num_conv_layers,
+        cfg.num_mlp_layers,
+    )
+    _inv_confidence_scorer(
+        out, "conf_head", p["conf_head"], cfg.num_conv_layers,
+        cfg.num_mlp_layers,
+    )
+    _inv_coord_head(out, p["coord_head"])
+    _inv_txt_position_embed(out, p, cfg)
+    return out
+
+
+def export_state_dict_ms(params, cfg) -> Dict[str, np.ndarray]:
+    """flax FlashVTG_ms params -> reference state_dict (inverse of
+    convert_checkpoint_ms; strict=True loadable)."""
+    p = params.get("params", params)
+    out: Dict[str, np.ndarray] = {}
+    out["dummy_rep_token"] = _f32(p["dummy_token"])
+    out["dummy_rep_pos"] = _f32(p["dummy_pos"])
+    out["coef"] = _f32(p["coef"])
+    _inv_input_proj(out, "input_vid_proj", p["vid_proj"], cfg.n_input_proj)
+    _inv_input_proj(out, "input_txt_proj", p["txt_proj"], cfg.n_input_proj)
+    _inv_input_proj(out, "input_word_proj", p["word_proj"], cfg.n_input_proj)
+    out["token_type_embeddings.weight"] = _f32(p["token_type"]["embedding"])
+    _inv_encoder(out, "txtproj_encoder", p["dummy_encoder"], cfg.dummy_layers)
+    _inv_encoder(
+        out, "transformer.t2v_encoder", p["t2v_encoder"], cfg.t2v_layers,
+        layer_fn=_inv_t2v_layer,
+    )
+    _inv_encoder(out, "transformer.encoder", p["encoder"], cfg.enc_layers)
+    _inv_pyramid(out, p["pyramid"], cfg.strides)
+    # AdaPooling is constructed by the _ms reference but dead on its forward
+    # path (the query comes from src_glob instead); synthesize its Linear
+    out["pooling.att.weight"] = np.zeros((1, cfg.hidden_dim), np.float32)
+    _inv_confidence_scorer(
+        out, "class_head", p["class_head"], cfg.num_conv_layers,
+        cfg.num_mlp_layers,
+    )
+    _inv_coord_head(out, p["coord_head"])
+    _inv_dense(out, "saliency_proj.proj1", p["saliency_proj"]["proj1"])
+    _inv_dense(out, "saliency_proj.proj2", p["saliency_proj"]["proj2"])
+
+    pg = p["phrase_generate"]
+    _inv_dense(out, "phrase_generate.word_proj", pg["word_proj"])
+    _inv_dense(out, "phrase_generate.video_proj", pg["video_proj"])
+    out["phrase_generate.learnable_phrase"] = _f32(pg["learnable_phrase"])
+    for i in range(cfg.phrase_layers):
+        a, pre = pg[f"att{i}"], f"phrase_generate.phrase_att.{i}"
+        _inv_dense(out, f"{pre}.q_proj", a["q_proj"])
+        _inv_dense(out, f"{pre}.kv_proj", a["kv_proj"])
+        _inv_mha(out, f"{pre}.att", a["att"])
+        _inv_norm(out, f"{pre}.norm", a["norm"])
+        _inv_dense(out, f"{pre}.linear", a["linear"])
+        _inv_norm(out, f"{pre}.norm1", a["norm1"])
+
+    pc = p["phrase_context"]
+    for name in ("fc_1", "fc_2", "fc_3"):
+        _inv_dense(out, f"phrase_context.product.{name}", pc["product"][name])
+    _inv_norm(out, "phrase_context.product.norm", pc["product"]["norm"])
+    _inv_norm(out, "phrase_context.product.norm1", pc["product"]["norm1"])
+    for i in range(cfg.context_layers):
+        lay, pre = pc[f"layer{i}"], f"phrase_context.layers.{i}"
+        _inv_self_attention_block(out, f"{pre}.t_att", lay["t_att"])
+        _inv_dense(out, f"{pre}.fc_t.0", lay["fc_t"])
+        _inv_norm(out, f"{pre}.norm_t", lay["norm_t"])
+    lc = pc["local_context"]
+    _inv_dense(
+        out, "phrase_context.local_context.phrase_proj.0", lc["phrase_proj1"]
+    )
+    _inv_dense(
+        out, "phrase_context.local_context.phrase_proj.2", lc["phrase_proj2"]
+    )
+    for k in (1, 3, 5):
+        out[f"phrase_context.local_context.kernel_params.k{k}"] = _f32(
+            lc[f"kernel_k{k}"]
+        )
+    _inv_dense(out, "phrase_context.local_context.linear_out", lc["linear_out"])
+    _inv_norm(out, "phrase_context.local_context.norm", lc["norm"])
+
+    d = cfg.hidden_dim
+    for i in range(cfg.t_sa_layers):
+        lay, pre = p["t_sa"][f"layer{i}"], f"t_sa.layers.{i}"
+        _inv_self_attention_block(out, f"{pre}.t_att", lay["t_att"])
+        _inv_dense(out, f"{pre}.linear", lay["linear"])
+        _inv_norm(out, f"{pre}.norm", lay["norm"])
+        # t_sa.layers.{i}.norm1 exists in the reference but is dead
+        # (never applied in T_SA.forward) -> synthesize LayerNorm init
+        out[f"{pre}.norm1.weight"] = np.ones(d, np.float32)
+        out[f"{pre}.norm1.bias"] = np.zeros(d, np.float32)
+
+    # transformer.fuse_proj: constructed by the _ms Transformer but never
+    # called on any build path (verified dead; importer skips it). Linear
+    # (d, 2d) + LayerNorm at init values.
+    out["transformer.fuse_proj.0.weight"] = np.zeros((d, 2 * d), np.float32)
+    out["transformer.fuse_proj.0.bias"] = np.zeros(d, np.float32)
+    out["transformer.fuse_proj.1.weight"] = np.ones(d, np.float32)
+    out["transformer.fuse_proj.1.bias"] = np.zeros(d, np.float32)
+    _inv_txt_position_embed(out, p, cfg)
+    return out
+
+
+def _inv_mha(out, prefix, p):
+    """lgi.MHACore {q,k,v,out} -> torch nn.MultiheadAttention."""
+    out[f"{prefix}.in_proj_weight"] = np.concatenate(
+        [_f32(p[x]["kernel"]).T for x in ("q", "k", "v")], 0
+    )
+    out[f"{prefix}.in_proj_bias"] = np.concatenate(
+        [_f32(p[x]["bias"]) for x in ("q", "k", "v")]
+    )
+    _inv_dense(out, f"{prefix}.out_proj", p["out"])
+
+
+def _inv_self_attention_block(out, prefix, p):
+    """lgi.SelfAttentionBlock -> LGI SelfAttention."""
+    _inv_dense(out, f"{prefix}.q_proj", p["q_proj"])
+    _inv_dense(out, f"{prefix}.k_proj", p["k_proj"])
+    _inv_dense(out, f"{prefix}.v_proj", p["v_proj"])
+    _inv_mha(out, f"{prefix}.att", p["att"])
+    _inv_norm(out, f"{prefix}.norm", p["norm"])
+
+
+def save_torch_checkpoint(path, params, cfg, variant="core", epoch=-1):
+    """Write a reference-format .ckpt ({'model': state_dict, 'epoch': N})
+    that FlashVTG/inference.py setup_model loads directly."""
+    import torch
+
+    sd = (
+        export_state_dict_ms(params, cfg) if variant == "ms"
+        else export_state_dict(params, cfg)
+    )
+    torch.save(
+        {
+            "model": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            "epoch": epoch,
+        },
+        path,
+    )
+    return sd

@@ -1,0 +1,181 @@
+"""Reverse checkpoint export: flax params -> reference-format .ckpt.
+
+Contract (both variants):
+  1. export produces EXACTLY the reference model's state_dict key set,
+     loadable with load_state_dict(strict=True);
+  2. import -> export is the identity on every live parameter (dead
+     reference params — txt_position_embed when use_txt_pos is off, the
+     `_ms` transformer.fuse_proj / pooling / t_sa.*.norm1 — are
+     synthesized at init values and only shape-checked);
+  3. a reference model loaded from our export produces the same forward
+     outputs as our model on the exported params;
+  4. the .ckpt file round-trips through our own importer bit-for-bit.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from flashvtg_tpu.models.flashvtg import FlashVTGModel, ModelConfig
+from flashvtg_tpu.models.flashvtg_ms import FlashVTGMSModel, MSModelConfig
+from flashvtg_tpu.models.points import pyramid_masks_strict
+from flashvtg_tpu.utils.torch_convert import (
+    convert_checkpoint,
+    convert_checkpoint_ms,
+    export_state_dict,
+    export_state_dict_ms,
+    load_torch_checkpoint,
+    save_torch_checkpoint,
+)
+from tests.reference_oracle import build_reference_model, make_args
+from tests.test_ms_model_parity import build_reference_ms
+
+V_DIM, T_DIM, LV, LQ = 30, 20, 24, 6
+
+
+def _dead_core(key):
+    return key.startswith("txt_position_embed.")
+
+
+def _dead_ms(key):
+    return (
+        key.startswith("txt_position_embed.")
+        or key.startswith("transformer.fuse_proj.")
+        or key.startswith("pooling.")
+        or (key.startswith("t_sa.") and ".norm1." in key)
+    )
+
+
+def _check_export(sd_ref, sd_out, dead):
+    assert set(sd_out) == set(sd_ref)
+    for k, v in sd_ref.items():
+        assert sd_out[k].shape == tuple(v.shape), k
+        if not dead(k):
+            np.testing.assert_array_equal(sd_out[k], v.numpy(), err_msg=k)
+
+
+def test_export_core_strict_load_and_forward(tmp_path):
+    torch.manual_seed(0)
+    args = make_args(v_feat_dim=V_DIM, t_feat_dim=T_DIM)
+    ref = build_reference_model(args)
+    cfg = ModelConfig(
+        vid_dim=V_DIM, txt_dim=T_DIM,
+        num_dummies=args.num_dummies, dummy_layers=args.dummy_layers,
+        t2v_layers=args.t2v_layers, enc_layers=args.enc_layers,
+        kernel_size=args.kernel_size, num_conv_layers=args.num_conv_layers,
+        num_mlp_layers=args.num_mlp_layers, use_neg=False,
+        max_q_l=args.max_q_l,
+    )
+    params = convert_checkpoint(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()}, cfg
+    )
+    sd_out = export_state_dict(params, cfg)
+    _check_export(ref.state_dict(), sd_out, _dead_core)
+
+    # a FRESH reference model accepts the export with strict=True...
+    torch.manual_seed(123)
+    ref2 = build_reference_model(args)
+    ref2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_out.items()},
+        strict=True,
+    )
+    # ...and computes the same forward as our model on those params
+    rng = np.random.default_rng(0)
+    st = rng.standard_normal((1, LQ, T_DIM), dtype=np.float32)
+    sv = rng.standard_normal((1, LV, V_DIM), dtype=np.float32)
+    with torch.no_grad():
+        out_ref = ref2(
+            torch.from_numpy(st), torch.ones(1, LQ), torch.from_numpy(sv),
+            torch.ones(1, LV), ["v_1.0_2.0"], [0], targets={},
+        )
+    out = FlashVTGModel(cfg).apply(
+        params, jnp.asarray(st), jnp.ones((1, LQ)), jnp.asarray(sv),
+        jnp.ones((1, LV)), train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["saliency_scores"])[0],
+        out_ref["saliency_scores"].numpy()[0], atol=3e-4,
+    )
+
+    # file-level roundtrip through our own importer is bit-exact
+    path = str(tmp_path / "exported.ckpt")
+    save_torch_checkpoint(path, params, cfg, variant="core", epoch=7)
+    reimported = load_torch_checkpoint(path, cfg)
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(reimported)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(
+            np.asarray(la), np.asarray(lb),
+            err_msg=jax.tree_util.keystr(pa),
+        )
+    assert torch.load(path, map_location="cpu", weights_only=False)["epoch"] == 7
+
+
+def test_export_ms_strict_load_and_forward(tmp_path):
+    torch.manual_seed(0)
+    strides = (1, 2)
+    args = make_args(
+        v_feat_dim=V_DIM, t_feat_dim=T_DIM, num_dummies=3, dummy_layers=1,
+        t2v_layers=2, enc_layers=1, num_conv_layers=2, num_mlp_layers=3,
+        kernel_size=5, num_phrase=3, phrase_layers=2, context_layers=2,
+        use_dfl=False, num_bins=8, rank=4, t_sa=2, sample_radius=1.5,
+        use_neg=False, dset_name="tvsum", clip_length=2.0,
+    )
+    ref = build_reference_ms(args, strides=strides)
+    cfg = MSModelConfig(
+        vid_dim=V_DIM, txt_dim=T_DIM, num_dummies=3, dummy_layers=1,
+        t2v_layers=2, enc_layers=1, kernel_size=5, num_conv_layers=2,
+        num_mlp_layers=3, clip_length=2.0, strides=strides, use_neg=False,
+        num_phrase=3, phrase_layers=2, context_layers=2, use_dfl=False,
+        num_bins=8, rank=4, t_sa_layers=2, sample_radius=1.5,
+        max_q_l=args.max_q_l,
+    )
+    params = convert_checkpoint_ms(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()}, cfg
+    )
+    sd_out = export_state_dict_ms(params, cfg)
+    _check_export(ref.state_dict(), sd_out, _dead_ms)
+
+    torch.manual_seed(99)
+    ref2 = build_reference_ms(args, strides=strides)
+    ref2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_out.items()},
+        strict=True,
+    )
+    rng = np.random.default_rng(3)
+    st = rng.standard_normal((1, LQ, T_DIM), dtype=np.float32)
+    sv = rng.standard_normal((1, LV, V_DIM), dtype=np.float32)
+    with torch.no_grad():
+        out_ref = ref2(
+            torch.from_numpy(st), torch.ones(1, LQ), torch.from_numpy(sv),
+            torch.ones(1, LV), ["vid_x"], [0], targets={},
+        )
+    strict, _ = pyramid_masks_strict(np.asarray([LV]), LV, strides)
+    out = FlashVTGMSModel(cfg).apply(
+        params, jnp.asarray(st), jnp.ones((1, LQ)), jnp.asarray(sv),
+        jnp.ones((1, LV)), point_valid=jnp.asarray(strict), train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["saliency_scores"])[0],
+        out_ref["saliency_scores"].numpy()[0], atol=3e-4,
+    )
+
+    # the saved .ckpt auto-detects as _ms on reimport (phrase keys present)
+    path = str(tmp_path / "exported_ms.ckpt")
+    save_torch_checkpoint(path, params, cfg, variant="ms")
+    reimported = load_torch_checkpoint(path, cfg)
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(reimported)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(
+            np.asarray(la), np.asarray(lb),
+            err_msg=jax.tree_util.keystr(pa),
+        )
