@@ -41,6 +41,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def tpu_reachable(timeout_s: int = 300) -> bool:
+    """Fail fast instead of hanging forever when the TPU link is dead.
+
+    On this machine the TPU is reached through a tunnel whose relay can die;
+    every TPU RPC then blocks indefinitely (client spinning at low CPU) —
+    indistinguishable in-process from a slow first compile, and a hung bench
+    records nothing at all. Probe device enumeration in a subprocess with a
+    hard timeout; enumeration takes seconds when the link is up, so a
+    timeout means the backend is unreachable. (Killing an enumeration probe
+    queues no server-side compile work, unlike killing a compile.)"""
+    import subprocess
+
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return res.returncode == 0 and res.stdout.strip().isdigit()
+
+
 def build_inputs(rng):
     src_txt = rng.standard_normal((N_QUERIES, LQ, T_DIM), dtype=np.float32)
     src_vid = rng.standard_normal((N_QUERIES, LV, V_DIM + 2), dtype=np.float32)
@@ -201,6 +224,23 @@ def bench_reference_cpu():
 
 
 def main():
+    if not tpu_reachable():
+        log("TPU backend unreachable (device enumeration timed out — "
+            "dead tunnel?); emitting an explicit failure record instead "
+            "of hanging")
+        print(
+            json.dumps(
+                {
+                    "metric": "qvh_val_queries_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "queries/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu backend unreachable (device enumeration "
+                             "timed out; dead axon tunnel?)",
+                }
+            )
+        )
+        sys.exit(1)
     tpu_qps = bench_tpu()
     cpu_qps = bench_reference_cpu()
     print(

@@ -23,6 +23,15 @@ def main(argv=None):
     parser.add_argument("--not_verbose", action="store_true")
     args = parser.parse_args(argv)
 
+    import os
+
+    for label, path in (
+        ("--submission_path", args.submission_path),
+        ("--gt_path", args.gt_path),
+    ):
+        if not os.path.exists(path):
+            raise SystemExit(f"{label}: no such file: {path}")
+
     results = eval_submission(
         load_jsonl(args.submission_path),
         load_jsonl(args.gt_path),

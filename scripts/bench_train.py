@@ -36,6 +36,11 @@ else:
     STEPS = 30
 if len(sys.argv) > 2:  # optional batch override: scaling sweeps
     BSZ = int(sys.argv[2])
+# scan-chunk sweeps: BENCH_SCAN_K=32 overrides cfg.scan_steps (STEPS grows
+# to fit so the chunk is never clamped)
+SCAN_K = int(os.environ.get("BENCH_SCAN_K", 0))
+if SCAN_K:
+    STEPS = max(STEPS, 2 * SCAN_K)
 # skip the streamed-features measurement (wire-bound: minutes at large B)
 FEED_ONLY = os.environ.get("BENCH_FEED_ONLY", "0") == "1"
 
@@ -159,7 +164,7 @@ def main():
     # transfer latency of the host<->TPU link ---
     from flashvtg_tpu.train.loop import _key_chain
 
-    K = max(2, min(cfg.scan_steps, STEPS))
+    K = max(2, min(SCAN_K or cfg.scan_steps, STEPS))
     loss_buf = jnp.asarray(np.zeros((STEPS, len(keys)), np.float32))
     # host-side stacks: uploaded INSIDE the timed loop, like the production
     # put_chunk — the per-chunk label+index H2D transfer is part of the cost

@@ -48,3 +48,31 @@ def test_parse_config_file():
     cfg, _ = parse_config(["configs/HD.py", "--dset_name", "tvsum"])
     assert cfg.strides == (1,) and cfg.loss_cls == "dynamic_bce"
     assert cfg.dset_name == "tvsum"
+
+
+def test_eval_cli_missing_file_clean_error(tmp_path):
+    with pytest.raises(SystemExit, match="no such file"):
+        eval_main(
+            [
+                "--submission_path", str(tmp_path / "absent.jsonl"),
+                "--gt_path", str(tmp_path / "absent_gt.jsonl"),
+                "--save_path", str(tmp_path / "out.json"),
+            ]
+        )
+
+
+def test_infer_cli_clean_errors(tmp_path):
+    from flashvtg_tpu.cli import main as cli_main
+
+    with pytest.raises(SystemExit, match="--resume"):
+        cli_main(["infer", "qvhighlights_slowclip"])
+    with pytest.raises(SystemExit, match="no such checkpoint"):
+        cli_main(
+            ["infer", "qvhighlights_slowclip",
+             "--resume", str(tmp_path / "absent_ckpt")]
+        )
+    with pytest.raises(SystemExit, match="--export_path"):
+        cli_main(
+            ["export", "qvhighlights_slowclip",
+             "--resume", str(tmp_path / "absent_ckpt")]
+        )
