@@ -147,7 +147,12 @@ def main(argv=None):
         dataset = VTGDataset(
             _dataset_cfg(cfg, cfg.eval_path, load_labels=cfg.eval_split_name == "val")
         )
-        results_dir = os.path.dirname(cfg.resume) or "."
+        # --eval_results_dir redirects test-time outputs (reference
+        # config.py:201-202); default is next to the checkpoint
+        results_dir = (
+            cfg.eval_results_dir or os.path.dirname(cfg.resume) or "."
+        )
+        os.makedirs(results_dir, exist_ok=True)
         # criterion losses on labeled splits, like the reference's
         # inference.py:300-306 (silently skipped when labels are absent)
         loss_cfg = (

@@ -126,6 +126,19 @@ class ExperimentConfig:
     nms_thd: float = -1.0
     nms_type: str = "normal"
 
+    # test-time flags (reference config.py TestOptions block)
+    eval_untrained: bool = False  # evaluate before epoch 0 (train.py:129)
+    eval_results_dir: Optional[str] = None  # redirect infer outputs
+    # reference-compat accepted-but-inert flags (see _INERT_FLAGS below)
+    temperature: float = 0.07
+    span_loss_type: str = "l1"  # "ce" rejected: broken in the reference too
+    drop_last: bool = True
+    no_sort_results: bool = False
+    a_feat_dim: Optional[int] = None
+    a_feat_dir: Optional[str] = None
+    eval_id: Optional[str] = None
+    model_dir: Optional[str] = None
+
     # FlashVTG_ms variant (FlashVTG_ms/config.py:135-153)
     variant: str = "core"  # "core" | "ms"
     num_phrase: int = 3
@@ -262,6 +275,17 @@ class ExperimentConfig:
         "eos_coef": 0.1,  # builds an empty_weight buffer nothing reads
         "conf_thd": 0.0,  # flag defined, never read (config.py:162)
         "max_before_nms": 50,  # accepted by post_processing_mr_nms, ignored
+        # --temperature is never forwarded: the reference constructs
+        # SampledNCELoss() with its 0.07 default (model.py:331)
+        "temperature": 0.07,
+        "no_sort_results": False,  # in the TestOptions keep-list, never read
+        "drop_last": True,  # we always drop the tail batch (static shapes;
+        # documented deviation, docs/PARITY.md) — False cannot be honored
+        "a_feat_dim": None,  # audio features: flags exist, no loader reads
+        "a_feat_dir": None,  # them (moment-DETR leftover)
+        "eval_id": None,  # defined, never read
+        "model_dir": None,  # overwritten with dirname(resume) by the
+        # reference TestOptions itself (config.py:191)
     }
     # Also inert but NOT warned here: buffer_size (caps the reference's
     # preallocated point buffer, generator.py:60 assert; our points are
@@ -271,7 +295,12 @@ class ExperimentConfig:
 
     def warn_inert_flags(self):
         for name, default in self._INERT_FLAGS.items():
-            if default is not None and getattr(self, name) != default:
+            current = getattr(self, name)
+            set_away = (
+                current is not None if default is None
+                else current != default
+            )
+            if set_away:
                 logging.getLogger(__name__).warning(
                     "--%s is accepted for reference opt.json compatibility "
                     "but is inert (dead or broken in the reference too — "
@@ -281,6 +310,15 @@ class ExperimentConfig:
     def build_model(self):
         """Model module for the configured variant."""
         self.warn_inert_flags()
+        if self.span_loss_type != "l1":
+            raise ValueError(
+                f"span_loss_type={self.span_loss_type!r} is not supported: "
+                "the reference's 'ce' path is itself broken for FlashVTG "
+                "(its decode reads train-branch pred_spans in a moment-DETR "
+                "shape this model never produces, inference.py:268-281, and "
+                "its criterion/head are l1-only); every shipped config uses "
+                "'l1'."
+            )
         if self.variant == "ms":
             from flashvtg_tpu.models.flashvtg_ms import FlashVTGMSModel
 

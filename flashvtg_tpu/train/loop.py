@@ -803,6 +803,39 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         else None
     )
 
+    if cfg.eval_untrained and eval_dataset is not None and start_epoch == 0:
+        # reference --eval_untrained: start_epoch=-1 runs one eval-only
+        # iteration before training (train.py:129 + the (epoch+1)%N gate),
+        # participating in best-checkpoint selection with epoch=-1
+        metrics, _, eval_losses = _eval_with(
+            params, eval_dataset, tag="latest", losses=loss_cfg,
+        )
+        if eval_losses:
+            writer.write(0, eval_losses, prefix="eval/")
+        if metrics is not None:
+            score = stop_metric(cfg, metrics["brief"])
+            logger.info("[untrained] eval %s", dict(metrics["brief"]))
+            if is_proc0:
+                import json as _json
+
+                with open(os.path.join(results_dir, "eval.log.txt"), "a") as f:
+                    f.write(
+                        "{} [Epoch] {:03d} [Loss] {} [Metrics] {}\n".format(
+                            time.strftime("%Y_%m_%d_%H_%M_%S"), -1,
+                            " ".join(
+                                f"{k} {v:.4f}"
+                                for k, v in (eval_losses or {}).items()
+                            ),
+                            _json.dumps(metrics),
+                        )
+                    )
+            if score > best_score:
+                best_score, have_best = score, True
+                save_checkpoint(
+                    os.path.join(results_dir, "model_best"),
+                    params, opt_state, -1, cfg,
+                )
+
     for epoch in range(start_epoch, n_epoch):
         shuffler.shuffle(all_rows)
         order = shard_rows_for_host(all_rows)

@@ -1,0 +1,117 @@
+"""Reference TestOptions-era flags: --eval_untrained, --eval_results_dir,
+the newly accepted inert flags, and the span_loss_type guard.
+
+Oracle: reference config.py (flag definitions + TestOptions semantics),
+train.py:129 (start_epoch=-1 on --eval_untrained), config.py:201-202
+(eval_results_dir redirect), model.py:331 (SampledNCELoss() built with
+defaults — --temperature never forwarded).
+"""
+
+import json
+import logging
+import os
+
+import pytest
+
+from flashvtg_tpu.train.config import ExperimentConfig, from_preset
+
+
+def test_new_inert_flags_warn(caplog):
+    cfg = from_preset(
+        "qvhighlights_slowclip", temperature=0.5, a_feat_dir="/tmp/audio"
+    )
+    with caplog.at_level(logging.WARNING):
+        cfg.warn_inert_flags()
+    warned = " ".join(r.getMessage() for r in caplog.records)
+    assert "temperature" in warned
+    assert "a_feat_dir" in warned  # None-default flags warn when set at all
+
+
+def test_defaults_do_not_warn(caplog):
+    with caplog.at_level(logging.WARNING):
+        from_preset("qvhighlights_slowclip").warn_inert_flags()
+    assert not caplog.records
+
+
+def test_span_loss_type_ce_rejected():
+    cfg = ExperimentConfig(span_loss_type="ce")
+    with pytest.raises(ValueError, match="span_loss_type"):
+        cfg.build_model()
+
+
+def test_reference_optjson_with_unknown_and_inert_keys_roundtrips(tmp_path):
+    """A reference-produced opt.json carries every reference flag (incl.
+    ones we drop entirely, like num_workers); load must tolerate them."""
+    raw = {
+        "dset_name": "hl", "bsz": 16, "temperature": 0.07,
+        "no_sort_results": False, "num_workers": 4, "device": 0,
+        "no_pin_memory": False, "span_loss_type": "l1",
+        "a_feat_dim": None, "eval_id": None,
+    }
+    p = tmp_path / "opt.json"
+    p.write_text(json.dumps(raw))
+    cfg = ExperimentConfig.load(str(p))
+    assert cfg.dset_name == "hl" and cfg.bsz == 16
+    assert cfg.temperature == 0.07
+
+
+def _tiny_train_cfg(tmp_path, **overrides):
+    from flashvtg_tpu.utils.synthetic import make_synthetic_qvh
+
+    ann, vdir, qdir = make_synthetic_qvh(
+        str(tmp_path), n_queries=8, v_dim=16, t_dim=12, n_clips=8
+    )
+    return from_preset(
+        "qvhighlights_slowclip",
+        v_feat_dim=16, t_feat_dim=12, max_v_l=8, max_q_l=6,
+        hidden_dim=16, dim_feedforward=32, t2v_layers=1, enc_layers=1,
+        dummy_layers=1, num_dummies=2, num_mlp_layers=2, num_conv_layers=1,
+        bsz=4, eval_bsz=4, n_epoch=1, eval_epoch=1, nms_thd=-1.0,
+        train_path=ann, eval_path=ann, v_feat_dirs=[vdir], t_feat_dir=qdir,
+        results_root=str(tmp_path / "results"),
+        train_precision="float32", eval_precision="float32",
+        use_tensorboard=False, **overrides,
+    )
+
+
+def test_eval_untrained_runs_eval_before_epoch0(tmp_path):
+    from flashvtg_tpu.train.loop import train
+
+    cfg = _tiny_train_cfg(tmp_path, eval_untrained=True)
+    run_dir = str(tmp_path / "run")
+    train(cfg, results_dir=run_dir)
+
+    # eval.log.txt leads with the reference's epoch=-1 line
+    lines = open(os.path.join(run_dir, "eval.log.txt")).read().splitlines()
+    assert len(lines) == 2  # untrained + epoch 0
+    assert "[Epoch] -01" in lines[0]
+    # scalars carry TWO eval blocks, the untrained one at step 0
+    eval_steps = []
+    with open(os.path.join(run_dir, "tensorboard_log", "scalars.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            if any(k.startswith("eval/") for k in row):
+                eval_steps.append(row["step"])
+    assert len(eval_steps) == 2 and eval_steps[0] == 0
+
+
+def test_eval_results_dir_redirects_infer_outputs(tmp_path):
+    from flashvtg_tpu.cli import main as cli_main
+    from flashvtg_tpu.train.loop import train
+
+    cfg = _tiny_train_cfg(tmp_path)
+    run_dir = str(tmp_path / "run")
+    train(cfg, results_dir=run_dir)
+
+    redirect = str(tmp_path / "elsewhere")
+    rc = cli_main(
+        [
+            "infer", "qvhighlights_slowclip",
+            "--resume", os.path.join(run_dir, "model_latest"),
+            "--eval_results_dir", redirect,
+        ]
+    )
+    assert rc == 0
+    produced = os.listdir(redirect)
+    assert any(p.endswith("_preds.jsonl") for p in produced)
+    assert any(p.endswith("_metrics.json") for p in produced)
