@@ -138,6 +138,7 @@ class ExperimentConfig:
     a_feat_dir: Optional[str] = None
     eval_id: Optional[str] = None
     model_dir: Optional[str] = None
+    lw_ms_align: float = 1.0
 
     # FlashVTG_ms variant (FlashVTG_ms/config.py:135-153)
     variant: str = "core"  # "core" | "ms"
@@ -286,6 +287,7 @@ class ExperimentConfig:
         "eval_id": None,  # defined, never read
         "model_dir": None,  # overwritten with dirname(resume) by the
         # reference TestOptions itself (config.py:191)
+        "lw_ms_align": 1.0,  # loss weight with no loss: zero usage
     }
     # Also inert but NOT warned here: buffer_size (caps the reference's
     # preallocated point buffer, generator.py:60 assert; our points are
