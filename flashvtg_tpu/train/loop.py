@@ -692,6 +692,22 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             else None
         ),
     )
+    # reference startup logging: TB "hyperparameters" text (train.py:113)
+    # and the learnable-parameter count (train.py:405-414; all params are
+    # trainable in both implementations)
+    import json as _json
+
+    writer.write_text(
+        "hyperparameters",
+        _json.dumps(dataclasses.asdict(cfg), indent=2, default=list),
+    )
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(params)
+        if hasattr(x, "shape")
+    )
+    logger.info(
+        "Learnable Parameters: %.3fM (100.0%%)", n_params / 1024 / 1024
+    )
 
     # --- HBM-resident feature feed (data/feed.py): one-time transfer of the
     # collated feature tensors; per-step host->device traffic becomes

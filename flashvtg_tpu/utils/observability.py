@@ -84,6 +84,14 @@ class ScalarWriter:
                 step=step,
             )
 
+    def write_text(self, tag: str, text: str):
+        """One-off text record (reference: tb_writer.add_text of the
+        markdown-dumped opt namespace, train.py:113)."""
+        if not self._enabled:
+            return
+        if self._tb is not None:
+            self._tb.add_text(tag, text)
+
     def close(self):
         if self._f is not None:
             self._f.close()

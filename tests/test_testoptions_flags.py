@@ -61,8 +61,7 @@ def _tiny_train_cfg(tmp_path, **overrides):
     ann, vdir, qdir = make_synthetic_qvh(
         str(tmp_path), n_queries=8, v_dim=16, t_dim=12, n_clips=8
     )
-    return from_preset(
-        "qvhighlights_slowclip",
+    kw = dict(
         v_feat_dim=16, t_feat_dim=12, max_v_l=8, max_q_l=6,
         hidden_dim=16, dim_feedforward=32, t2v_layers=1, enc_layers=1,
         dummy_layers=1, num_dummies=2, num_mlp_layers=2, num_conv_layers=1,
@@ -70,8 +69,10 @@ def _tiny_train_cfg(tmp_path, **overrides):
         train_path=ann, eval_path=ann, v_feat_dirs=[vdir], t_feat_dir=qdir,
         results_root=str(tmp_path / "results"),
         train_precision="float32", eval_precision="float32",
-        use_tensorboard=False, **overrides,
+        use_tensorboard=False,
     )
+    kw.update(overrides)
+    return from_preset("qvhighlights_slowclip", **kw)
 
 
 def test_eval_untrained_runs_eval_before_epoch0(tmp_path):
@@ -115,3 +116,12 @@ def test_eval_results_dir_redirects_infer_outputs(tmp_path):
     produced = os.listdir(redirect)
     assert any(p.endswith("_preds.jsonl") for p in produced)
     assert any(p.endswith("_metrics.json") for p in produced)
+
+
+def test_param_count_logged(tmp_path, caplog):
+    from flashvtg_tpu.train.loop import train
+
+    cfg = _tiny_train_cfg(tmp_path, eval_path="")
+    with caplog.at_level(logging.INFO, logger="flashvtg_tpu.train.loop"):
+        train(cfg, results_dir=str(tmp_path / "run"))
+    assert any("Learnable Parameters" in r.getMessage() for r in caplog.records)
