@@ -56,12 +56,25 @@ def tpu_reachable(timeout_s: int = 300) -> bool:
     try:
         res = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print(len(jax.devices()))"],
+             "import jax; print(jax.devices()[0].platform)"],
             timeout=timeout_s, capture_output=True, text=True,
         )
     except subprocess.TimeoutExpired:
+        log("tpu probe: device enumeration timed out (dead tunnel?)")
         return False
-    return res.returncode == 0 and res.stdout.strip().isdigit()
+    platform = res.stdout.strip().split()[-1] if res.stdout.strip() else ""
+    if res.returncode != 0:
+        log(f"tpu probe: enumeration failed rc={res.returncode}: "
+            f"{res.stderr.strip()[-500:]}")
+        return False
+    # reject known non-TPU backends: a silent CPU fallback (libtpu absent /
+    # plugin misconfigured) would otherwise record CPU throughput under the
+    # TPU metric name. Accept any other platform string — the tunneled
+    # plugin's self-reported name is not pinned here.
+    if platform in ("cpu", "cuda", "rocm", "gpu", ""):
+        log(f"tpu probe: default backend is {platform!r}, not a TPU")
+        return False
+    return True
 
 
 def build_inputs(rng):

@@ -35,8 +35,12 @@ def _add_config_flags(parser: argparse.ArgumentParser):
         if f.name in ("v_feat_dirs", "v_buckets", "strides", "nce_direction"):
             parser.add_argument(name, nargs="+", default=None)
         elif t is bool or str(f.type).startswith("bool"):
-            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
-                                default=None)
+            # both forms work: bare `--debug` (the reference's store_true
+            # style) and explicit `--debug true/false`
+            parser.add_argument(
+                name, nargs="?", const=True, default=None,
+                type=lambda s: s.lower() in ("1", "true", "yes"),
+            )
         elif str(f.type).startswith("int") or "int" in str(f.type):
             parser.add_argument(name, type=int, default=None)
         elif str(f.type).startswith("float") or "float" in str(f.type):
@@ -88,10 +92,18 @@ def main(argv=None):
     setup()
     mode, rest = argv[0], argv[1:]
     export_path = None
-    if mode == "export" and "--export_path" in rest:
-        i = rest.index("--export_path")
-        export_path = rest[i + 1]
-        rest = rest[:i] + rest[i + 2 :]
+    if mode == "export":
+        for i, a in enumerate(rest):
+            if a == "--export_path":
+                if i + 1 >= len(rest):
+                    raise SystemExit("--export_path requires a value")
+                export_path = rest[i + 1]
+                rest = rest[:i] + rest[i + 2 :]
+                break
+            if a.startswith("--export_path="):
+                export_path = a.split("=", 1)[1]
+                rest = rest[:i] + rest[i + 1 :]
+                break
     cfg, overrides = parse_config(rest)
 
     if mode in ("infer", "export") and cfg.resume:
@@ -187,6 +199,8 @@ def main(argv=None):
                 "export requires --resume <checkpoint> and "
                 "--export_path <out.ckpt>"
             )
+        if not os.path.exists(cfg.resume):
+            raise SystemExit(f"--resume: no such checkpoint: {cfg.resume}")
         from flashvtg_tpu.utils.torch_convert import (
             load_torch_checkpoint,
             save_torch_checkpoint,

@@ -132,7 +132,10 @@ class ExperimentConfig:
     # reference-compat accepted-but-inert flags (see _INERT_FLAGS below)
     temperature: float = 0.07
     span_loss_type: str = "l1"  # "ce" rejected: broken in the reference too
-    drop_last: bool = True
+    # live reference DataLoader flag (train.py:259, default False); static
+    # shapes here always drop the tail batch regardless (docs/PARITY.md
+    # deviation 6: <=1 batch of len(train)/bsz per epoch)
+    drop_last: bool = False
     no_sort_results: bool = False
     a_feat_dim: Optional[int] = None
     a_feat_dir: Optional[str] = None
@@ -280,8 +283,6 @@ class ExperimentConfig:
         # SampledNCELoss() with its 0.07 default (model.py:331)
         "temperature": 0.07,
         "no_sort_results": False,  # in the TestOptions keep-list, never read
-        "drop_last": True,  # we always drop the tail batch (static shapes;
-        # documented deviation, docs/PARITY.md) — False cannot be honored
         "a_feat_dim": None,  # audio features: flags exist, no loader reads
         "a_feat_dir": None,  # them (moment-DETR leftover)
         "eval_id": None,  # defined, never read

@@ -819,38 +819,61 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         else None
     )
 
-    if cfg.eval_untrained and eval_dataset is not None and start_epoch == 0:
-        # reference --eval_untrained: start_epoch=-1 runs one eval-only
-        # iteration before training (train.py:129 + the (epoch+1)%N gate),
-        # participating in best-checkpoint selection with epoch=-1
+    def run_eval_and_select(epoch: int, step: int) -> Optional[bool]:
+        """One in-training evaluation: eval/* scalars, reference log lines,
+        best-checkpoint selection. Returns None when metrics were not
+        computed, else whether the model improved (model_best saved then).
+        `epoch` is -1 for the --eval_untrained pre-loop eval; the eval.log
+        line uses the raw 0-based epoch (reference train.py:161 quirk)."""
+        nonlocal best_score, have_best
+        label = "untrained" if epoch < 0 else f"epoch {epoch + 1}"
         metrics, _, eval_losses = _eval_with(
             params, eval_dataset, tag="latest", losses=loss_cfg,
         )
         if eval_losses:
-            writer.write(0, eval_losses, prefix="eval/")
-        if metrics is not None:
-            score = stop_metric(cfg, metrics["brief"])
-            logger.info("[untrained] eval %s", dict(metrics["brief"]))
-            if is_proc0:
-                import json as _json
+            writer.write(step, eval_losses, prefix="eval/")
+            logger.info(
+                "[%s] eval losses %s", label,
+                " ".join(f"{k} {v:.4f}" for k, v in eval_losses.items()),
+            )
+        if metrics is None:
+            return None
+        score = stop_metric(cfg, metrics["brief"])
+        logger.info("[%s] eval %s", label, dict(metrics["brief"]))
+        if is_proc0:
+            # reference eval.log.txt line (train.py:159-169, formatter :250:
+            # time [Epoch] e [Loss] ... [Metrics] <full metrics json>)
+            import json as _json
 
-                with open(os.path.join(results_dir, "eval.log.txt"), "a") as f:
-                    f.write(
-                        "{} [Epoch] {:03d} [Loss] {} [Metrics] {}\n".format(
-                            time.strftime("%Y_%m_%d_%H_%M_%S"), -1,
-                            " ".join(
-                                f"{k} {v:.4f}"
-                                for k, v in (eval_losses or {}).items()
-                            ),
-                            _json.dumps(metrics),
-                        )
+            with open(os.path.join(results_dir, "eval.log.txt"), "a") as f:
+                f.write(
+                    "{} [Epoch] {:03d} [Loss] {} [Metrics] {}\n".format(
+                        time.strftime("%Y_%m_%d_%H_%M_%S"), epoch,
+                        " ".join(
+                            f"{k} {v:.4f}"
+                            for k, v in (eval_losses or {}).items()
+                        ),
+                        _json.dumps(metrics),
                     )
-            if score > best_score:
-                best_score, have_best = score, True
-                save_checkpoint(
-                    os.path.join(results_dir, "model_best"),
-                    params, opt_state, -1, cfg,
                 )
+        improved = score > best_score
+        if improved:
+            best_score, have_best = score, True
+            # redundant per-host eval -> identical metrics on every host, so
+            # every process takes this branch consistently and joins orbax's
+            # collective save (required: orbax barriers across all
+            # processes; primary host writes)
+            save_checkpoint(
+                os.path.join(results_dir, "model_best"),
+                params, opt_state, epoch, cfg,
+            )
+        return improved
+
+    if cfg.eval_untrained and eval_dataset is not None and start_epoch == 0:
+        # reference --eval_untrained: start_epoch=-1 runs one eval-only
+        # iteration before training (train.py:129 + the (epoch+1)%N gate),
+        # participating in best-checkpoint selection with epoch=-1
+        run_eval_and_select(-1, step=0)
 
     for epoch in range(start_epoch, n_epoch):
         shuffler.shuffle(all_rows)
@@ -1025,53 +1048,14 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
                 )
 
         if eval_dataset is not None and (epoch + 1) % cfg.eval_epoch == 0:
-            metrics, _, eval_losses = _eval_with(
-                params, eval_dataset, tag="latest", losses=loss_cfg,
-            )
-            if eval_losses:
-                writer.write(global_step, eval_losses, prefix="eval/")
-                logger.info(
-                    "[epoch %d] eval losses %s",
-                    epoch + 1,
-                    " ".join(f"{k} {v:.4f}" for k, v in eval_losses.items()),
-                )
-            if metrics is not None:
-                score = stop_metric(cfg, metrics["brief"])
-                logger.info("[epoch %d] eval %s", epoch + 1, dict(metrics["brief"]))
-                if is_proc0:
-                    # reference eval.log.txt line (train.py:159-169,
-                    # formatter :250: time [Epoch] e [Loss] ... [Metrics]
-                    # <full metrics json>)
-                    import json as _json
-
-                    with open(
-                        os.path.join(results_dir, "eval.log.txt"), "a"
-                    ) as f:
-                        f.write(
-                            "{} [Epoch] {:03d} [Loss] {} [Metrics] {}\n".format(
-                                time.strftime("%Y_%m_%d_%H_%M_%S"), epoch,
-                                " ".join(
-                                    f"{k} {v:.4f}"
-                                    for k, v in (eval_losses or {}).items()
-                                ),
-                                _json.dumps(metrics),
-                            )
-                        )
-                if score > best_score:
-                    best_score, have_best, es_cnt = score, True, 0
-                    # redundant per-host eval -> identical metrics on every
-                    # host, so every process takes this branch consistently
-                    # and joins orbax's collective save (required: orbax
-                    # barriers across all processes; primary host writes)
-                    save_checkpoint(
-                        os.path.join(results_dir, "model_best"),
-                        params, opt_state, epoch, cfg,
-                    )
-                else:
-                    es_cnt += 1
-                    if cfg.max_es_cnt != -1 and es_cnt > cfg.max_es_cnt:
-                        logger.info("early stop at epoch %d", epoch)
-                        break
+            improved = run_eval_and_select(epoch, step=global_step)
+            if improved:
+                es_cnt = 0
+            elif improved is False:
+                es_cnt += 1
+                if cfg.max_es_cnt != -1 and es_cnt > cfg.max_es_cnt:
+                    logger.info("early stop at epoch %d", epoch)
+                    break
         save_checkpoint(
             os.path.join(results_dir, "model_latest"),
             params, opt_state, epoch, cfg,

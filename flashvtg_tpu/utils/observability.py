@@ -54,17 +54,20 @@ class ScalarWriter:
             except Exception:
                 self._tb = None
         if wandb_run:
+            # broad catch on purpose: wandb must never take training down —
+            # missing package, missing API key, offline host, server errors
+            # all degrade to the jsonl+TB sinks with one warning
             try:
                 import wandb
 
                 self._wb = wandb.init(**wandb_run)
-            except ImportError:
+            except Exception as e:
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "--use_wandb set but the wandb package is not "
-                    "installed; scalars still go to scalars.jsonl"
-                    "%s", " + TensorBoard" if self._tb is not None else "",
+                    "--use_wandb set but wandb is unavailable (%r); scalars "
+                    "still go to scalars.jsonl%s",
+                    e, " + TensorBoard" if self._tb is not None else "",
                 )
 
     def write(self, step: int, scalars: Dict[str, float], prefix: str = ""):
@@ -79,10 +82,18 @@ class ScalarWriter:
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
         if self._wb is not None:
-            self._wb.log(
-                {k: v for k, v in row.items() if k not in ("step", "time")},
-                step=step,
-            )
+            try:
+                self._wb.log(
+                    {k: v for k, v in row.items() if k not in ("step", "time")},
+                    step=step,
+                )
+            except Exception as e:  # a mid-run wandb failure must not kill
+                import logging       # training; drop the mirror and go on
+
+                logging.getLogger(__name__).warning(
+                    "wandb.log failed (%r); disabling the wandb mirror", e
+                )
+                self._wb = None
 
     def write_text(self, tag: str, text: str):
         """One-off text record (reference: tb_writer.add_text of the

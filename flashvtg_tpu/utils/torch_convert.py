@@ -613,17 +613,31 @@ def _inv_self_attention_block(out, prefix, p):
 
 
 def save_torch_checkpoint(path, params, cfg, variant="core", epoch=-1):
-    """Write a reference-format .ckpt ({'model': state_dict, 'epoch': N})
-    that FlashVTG/inference.py setup_model loads directly."""
+    """Write a reference-format .ckpt that FlashVTG/inference.py setup_model
+    loads on EITHER of its branches.
+
+    The reference picks its load path by substring sniffing
+    (inference.py:460: `if "pt" in opt.resume[:-4]`): paths containing
+    "pt" anywhere before the extension — e.g. anything under a
+    checkpoints/ directory — are treated as pretrain-style files read from
+    `checkpoint["state_dict"]` with a `module.` prefix; everything else
+    reads `checkpoint["model"]` strict. Both keys are therefore written
+    (same tensors), so the export loads wherever the user puts it.
+    (`--resume_all` additionally expects optimizer/lr_scheduler states,
+    which have no torch counterpart here — export is weights-only.)"""
     import torch
 
     sd = (
         export_state_dict_ms(params, cfg) if variant == "ms"
         else export_state_dict(params, cfg)
     )
+    tensors = {
+        k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()
+    }
     torch.save(
         {
-            "model": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            "model": tensors,
+            "state_dict": {f"module.{k}": v for k, v in tensors.items()},
             "epoch": epoch,
         },
         path,

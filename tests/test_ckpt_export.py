@@ -114,7 +114,12 @@ def test_export_core_strict_load_and_forward(tmp_path):
             np.asarray(la), np.asarray(lb),
             err_msg=jax.tree_util.keystr(pa),
         )
-    assert torch.load(path, map_location="cpu", weights_only=False)["epoch"] == 7
+    ck = torch.load(path, map_location="cpu", weights_only=False)
+    assert ck["epoch"] == 7
+    # both reference load branches are served: plain "model" (strict path)
+    # and module.-prefixed "state_dict" (the `"pt" in resume[:-4]` path,
+    # inference.py:460-468 — triggered by e.g. a checkpoints/ directory)
+    assert set(ck["state_dict"]) == {f"module.{k}" for k in ck["model"]}
 
 
 def test_export_ms_strict_load_and_forward(tmp_path):

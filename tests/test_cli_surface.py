@@ -76,3 +76,25 @@ def test_infer_cli_clean_errors(tmp_path):
             ["export", "qvhighlights_slowclip",
              "--resume", str(tmp_path / "absent_ckpt")]
         )
+    with pytest.raises(SystemExit, match="requires a value"):
+        cli_main(["export", "qvhighlights_slowclip", "--export_path"])
+    with pytest.raises(SystemExit, match="no such checkpoint"):
+        cli_main(  # --export_path=value form parses too
+            ["export", "qvhighlights_slowclip",
+             "--resume", str(tmp_path / "absent_ckpt"),
+             f"--export_path={tmp_path}/out.ckpt"]
+        )
+
+
+def test_bare_bool_flags_parse_like_store_true():
+    """Reference bool flags are argparse store_true; both the bare form and
+    an explicit value must work here (MIGRATION.md: flag blocks carry
+    over unchanged)."""
+    cfg, _ = parse_config(["qvhighlights_slowclip", "--debug"])
+    assert cfg.debug is True
+    cfg, _ = parse_config(["qvhighlights_slowclip", "--debug", "false"])
+    assert cfg.debug is False
+    cfg, _ = parse_config(
+        ["qvhighlights_slowclip", "--eval_untrained", "--bsz", "4"]
+    )
+    assert cfg.eval_untrained is True and cfg.bsz == 4
