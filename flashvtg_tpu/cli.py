@@ -108,11 +108,25 @@ def main(argv=None):
 
     if mode in ("infer", "export") and cfg.resume:
         # TestOptions semantics (config.py:189-203): the opt.json saved next
-        # to the checkpoint restores the training-time flags; the explicit
-        # CLI flags of THIS invocation still win.
+        # to the checkpoint restores the training-time flags — EXCEPT the
+        # eval-time knobs the reference explicitly keeps at their current
+        # values (config.py:196-199 exclusion list: results_root, nms_thd,
+        # debug, max_pred_l, min_pred_l, resume, resume_all,
+        # no_sort_results). Explicit CLI flags of THIS invocation still win
+        # over everything.
         opt_json = os.path.join(os.path.dirname(cfg.resume) or ".", "opt.json")
         if os.path.exists(opt_json):
-            cfg = ExperimentConfig.load(opt_json).replace(**overrides)
+            keep = {
+                k: getattr(cfg, k)
+                for k in (
+                    "results_root", "nms_thd", "debug", "max_pred_l",
+                    "min_pred_l", "resume", "resume_all", "no_sort_results",
+                )
+                if hasattr(cfg, k)
+            }
+            cfg = ExperimentConfig.load(opt_json).replace(
+                **{**keep, **overrides}
+            )
 
     if mode == "train":
         from flashvtg_tpu.train.loop import train

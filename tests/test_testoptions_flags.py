@@ -125,3 +125,42 @@ def test_param_count_logged(tmp_path, caplog):
     with caplog.at_level(logging.INFO, logger="flashvtg_tpu.train.loop"):
         train(cfg, results_dir=str(tmp_path / "run"))
     assert any("Learnable Parameters" in r.getMessage() for r in caplog.records)
+
+
+def test_testoptions_keep_list_not_restored_from_optjson(tmp_path):
+    """TestOptions restores saved training flags EXCEPT the eval-time keep
+    list (reference config.py:196-199: nms_thd, debug, results_root, ...).
+    The invocation's own values — here the preset, the analogue of the
+    reference inference script's explicit flag block — must win over the
+    SAVED values for those keys, while everything else (dims, paths) is
+    restored from opt.json."""
+    from flashvtg_tpu.cli import main as cli_main
+    from flashvtg_tpu.train.loop import train
+
+    # trained with NMS off -> saved opt.json records nms_thd=-1
+    cfg = _tiny_train_cfg(tmp_path)
+    assert cfg.nms_thd == -1.0
+    run_dir = str(tmp_path / "run")
+    train(cfg, results_dir=run_dir)
+
+    # the preset's own nms_thd=0.7 must win over the saved -1 (keep-list);
+    # the saved dims/paths must still be restored or the checkpoint could
+    # not even load (preset says hidden 256, the run used 16)
+    out1 = str(tmp_path / "out1")
+    cli_main(
+        ["infer", "qvhighlights_slowclip",
+         "--resume", os.path.join(run_dir, "model_latest"),
+         "--eval_results_dir", out1]
+    )
+    produced = os.listdir(out1)
+    assert any(p.endswith("_preds.jsonl") for p in produced)
+    assert any("nms_thd_0.7" in p for p in produced)
+
+    # an explicit CLI flag still wins over both
+    out2 = str(tmp_path / "out2")
+    cli_main(
+        ["infer", "qvhighlights_slowclip",
+         "--resume", os.path.join(run_dir, "model_latest"),
+         "--eval_results_dir", out2, "--nms_thd", "-1"]
+    )
+    assert not any("nms" in p for p in os.listdir(out2))
