@@ -245,3 +245,81 @@ def test_use_txt_pos_parity():
         out_ref["saliency_scores"].numpy()[0],
         atol=3e-4,
     )
+
+
+def test_eval_forward_parity_length_fuzz(pair):
+    """Compaction fuzz: the cumsum-built valid-first permutation in front of
+    the conf head (models/flashvtg.py) must reproduce the reference's
+    compact pyramid concat for ANY valid length, including lengths that
+    skip pyramid levels entirely (reference blocks.py:56-57) and lengths
+    around conv kernel//2 level boundaries. Same oracle machinery as
+    test_eval_forward_parity, logits/coords only, many (lv, lq) combos on
+    one compiled program (masks change, shapes don't)."""
+    ref, model, params, args = pair
+    from flashvtg_tpu.models.points import pyramid_level_sizes
+
+    static_sizes = pyramid_level_sizes(LV, model.cfg.strides)
+    x = float(ref.x.detach())
+    rng = np.random.default_rng(7)
+    for lv_valid, lq_valid in [
+        (1, 1), (2, 3), (3, LQ), (5, 5), (8, 2), (13, 9), (21, LQ),
+        (47, 4), (74, 11),
+    ]:
+        cap = {"class": [], "coord": []}
+        handles = [
+            ref.class_head.register_forward_hook(
+                lambda m, i, o: cap["class"].append(o.detach())
+            ),
+            ref.conf_head.register_forward_hook(
+                lambda m, i, o: cap.__setitem__("conf", o.detach())
+            ),
+            ref.coord_head.register_forward_hook(
+                lambda m, i, o: cap["coord"].append(o.detach())
+            ),
+        ]
+        src_txt, txt_mask, src_vid, vid_mask = _inputs(rng, lv_valid, lq_valid)
+        with torch.no_grad():
+            out_ref = ref(
+                torch.from_numpy(src_txt[:, :lq_valid]),
+                torch.ones(1, lq_valid),
+                torch.from_numpy(src_vid[:, :lv_valid]),
+                torch.ones(1, lv_valid),
+                ["vid_a_1.0_2.0"], [1], targets={},
+            )
+        for h in handles:
+            h.remove()
+
+        strict_mask, _ = pyramid_masks_strict(
+            np.asarray([lv_valid]), LV, model.cfg.strides
+        )
+        out = model.apply(
+            params, jnp.asarray(src_txt), jnp.asarray(txt_mask),
+            jnp.asarray(src_vid), jnp.asarray(vid_mask),
+            point_valid=jnp.asarray(strict_mask), train=False,
+        )
+        valid_sizes = pyramid_level_sizes(lv_valid, model.cfg.strides)
+        ref_class = torch.cat(cap["class"], dim=1)
+        ref_logits = (x * ref_class + (1 - x) * cap["conf"]).numpy()[0, :, 0]
+        ref_coords = np.concatenate(
+            [
+                np.exp(c.numpy()) * ref.coef[i].detach().numpy()
+                for i, c in enumerate(cap["coord"])
+            ],
+            axis=1,
+        )[0]
+        my_logits = np.asarray(out["out_class"])[0, :, 0]
+        my_coords = np.asarray(out["out_coord"])[0]
+        ref_off = my_off = 0
+        for vs, ss in zip(valid_sizes, static_sizes):
+            np.testing.assert_allclose(
+                my_logits[my_off : my_off + vs],
+                ref_logits[ref_off : ref_off + vs],
+                atol=3e-4, err_msg=f"lv={lv_valid} lq={lq_valid}",
+            )
+            np.testing.assert_allclose(
+                my_coords[my_off : my_off + vs],
+                ref_coords[ref_off : ref_off + vs],
+                atol=3e-4, err_msg=f"lv={lv_valid} lq={lq_valid}",
+            )
+            ref_off += vs
+            my_off += ss
