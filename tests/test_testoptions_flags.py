@@ -164,3 +164,41 @@ def test_testoptions_keep_list_not_restored_from_optjson(tmp_path):
          "--eval_results_dir", out2, "--nms_thd", "-1"]
     )
     assert not any("nms" in p for p in os.listdir(out2))
+
+
+def test_feature_interactions_smoke(tmp_path, monkeypatch):
+    """All the round-3-late features at once on the production feed+scan
+    path: --eval_untrained + --test_path + --use_wandb (stubbed) in one
+    train() — pins the interactions (untrained eval before the scan epochs,
+    final dual-split evals, every scalar mirrored to wandb)."""
+    import sys
+
+    from tests.test_wandb import _stub_wandb
+
+    from flashvtg_tpu.train.loop import train
+
+    runs = []
+    monkeypatch.setitem(sys.modules, "wandb", _stub_wandb(runs))
+    cfg = _tiny_train_cfg(
+        tmp_path, eval_untrained=True, use_wandb=True, n_epoch=2,
+        test_path=_tiny_train_cfg(tmp_path).eval_path,
+    )
+    assert cfg.device_feed == "auto" and cfg.scan_steps == 16
+    run_dir = str(tmp_path / "run")
+    best_params, best_score, _ = train(cfg, results_dir=run_dir)
+    assert best_score > 0
+
+    # untrained + 2 per-epoch evals -> 3 eval.log lines, first at epoch -1
+    lines = open(os.path.join(run_dir, "eval.log.txt")).read().splitlines()
+    assert len(lines) == 3 and "[Epoch] -01" in lines[0]
+    # final dual-split evals wrote val_/test_ submissions for latest + best
+    produced = os.listdir(run_dir)
+    for tag in ("val_latest", "val_best", "test_latest", "test_best"):
+        assert any(p.startswith(tag) for p in produced), (tag, produced)
+    # wandb saw train/, eval/ and perf/ scalars and was finished
+    (run,) = runs
+    logged_keys = {k for _, row in run.logged for k in row}
+    assert any(k.startswith("train/") for k in logged_keys)
+    assert any(k.startswith("eval/") for k in logged_keys)
+    assert any(k.startswith("perf/") for k in logged_keys)
+    assert run.finished
