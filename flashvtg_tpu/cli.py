@@ -17,8 +17,6 @@ import dataclasses
 import logging
 import os
 import sys
-from typing import get_args, get_origin
-
 from flashvtg_tpu.train.config import (
     ExperimentConfig,
     PRESETS,
