@@ -142,6 +142,15 @@ class ExperimentConfig:
     eval_id: Optional[str] = None
     model_dir: Optional[str] = None
     lw_ms_align: float = 1.0
+    # DETR/moment-DETR leftovers + abandoned experiment knobs, all with
+    # zero usage outside the reference's config.py (pinned by
+    # test_live_reference_flag_surface_fully_covered)
+    aux_loss: bool = True  # --no_aux_loss store_false pair (config.py:135)
+    span_loss_coef: float = 10.0
+    giou_loss_coef: float = 3.0
+    use_SRM: bool = False  # keeps the reference's exact spelling
+    total_prompts: int = 10
+    num_prompts: int = 1
 
     # FlashVTG_ms variant (FlashVTG_ms/config.py:135-153)
     variant: str = "core"  # "core" | "ms"
@@ -289,6 +298,13 @@ class ExperimentConfig:
         "model_dir": None,  # overwritten with dirname(resume) by the
         # reference TestOptions itself (config.py:191)
         "lw_ms_align": 1.0,  # loss weight with no loss: zero usage
+        # DETR/moment-DETR fossils + abandoned knobs, zero usage:
+        "aux_loss": True,
+        "span_loss_coef": 10.0,
+        "giou_loss_coef": 3.0,
+        "use_SRM": False,
+        "total_prompts": 10,
+        "num_prompts": 1,
     }
     # Also inert but NOT warned here: buffer_size (caps the reference's
     # preallocated point buffer, generator.py:60 assert; our points are
