@@ -235,3 +235,16 @@ def test_live_reference_flag_surface_fully_covered(tmp_path):
     assert cfg.seed == defaults["seed"]
     assert cfg.lr == defaults["lr"]
     assert cfg.max_es_cnt == defaults["max_es_cnt"]
+
+    # and the _ms parser's surface (adds --num_phrase etc.)
+    from FlashVTG_ms.config import BaseOptions as MSBaseOptions
+
+    ms = MSBaseOptions()
+    ms.initialize()
+    ms_defaults = {
+        a.dest: a.default
+        for a in ms.parser._actions
+        if a.option_strings and a.dest != "help"
+    }
+    missing_ms = set(ms_defaults) - ours - dropped
+    assert not missing_ms, f"_ms flags with no field here: {sorted(missing_ms)}"
