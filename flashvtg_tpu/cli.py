@@ -49,6 +49,13 @@ def _add_config_flags(parser: argparse.ArgumentParser):
 
 def parse_config(argv):
     """Returns (config, explicit_overrides)."""
+    # the reference exposes aux_loss only through its inverted store_false
+    # spelling (config.py:135 --no_aux_loss); accept that form too
+    argv = [
+        x
+        for a in argv
+        for x in (("--aux_loss", "false") if a == "--no_aux_loss" else (a,))
+    ]
     parser = argparse.ArgumentParser()
     parser.add_argument("config", help="preset name or data/MR*.py-style file")
     _add_config_flags(parser)

@@ -98,3 +98,6 @@ def test_bare_bool_flags_parse_like_store_true():
         ["qvhighlights_slowclip", "--eval_untrained", "--bsz", "4"]
     )
     assert cfg.eval_untrained is True and cfg.bsz == 4
+    # the reference's inverted spelling of its one store_false pair
+    cfg, _ = parse_config(["qvhighlights_slowclip", "--no_aux_loss"])
+    assert cfg.aux_loss is False
