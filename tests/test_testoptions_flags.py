@@ -248,3 +248,22 @@ def test_live_reference_flag_surface_fully_covered(tmp_path):
     }
     missing_ms = set(ms_defaults) - ours - dropped
     assert not missing_ms, f"_ms flags with no field here: {sorted(missing_ms)}"
+
+
+def test_debug_fast_loop(tmp_path):
+    """--debug truncates to <=2 steps and 1 epoch (reference config.py:32-33)
+    and disables the scan epoch (per-step granularity for inspection)."""
+    from flashvtg_tpu.train.loop import train
+
+    cfg = _tiny_train_cfg(tmp_path, debug=True, n_epoch=5)
+    run_dir = str(tmp_path / "run")
+    train(cfg, results_dir=run_dir)
+    steps = epochs = 0
+    with open(os.path.join(run_dir, "tensorboard_log", "scalars.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            steps += any(k.startswith("train/") for k in row)
+            epochs += "perf/epoch_seconds" in row
+    assert epochs == 1 and 1 <= steps <= 2
+    lines = open(os.path.join(run_dir, "train.log.txt")).read().splitlines()
+    assert len(lines) == 1
