@@ -267,3 +267,21 @@ def test_debug_fast_loop(tmp_path):
     assert epochs == 1 and 1 <= steps <= 2
     lines = open(os.path.join(run_dir, "train.log.txt")).read().splitlines()
     assert len(lines) == 1
+
+
+def test_data_ratio_slices_dataset(tmp_path):
+    """--data_ratio trains on the first fraction of rows (reference
+    config.py:34-37 + start_end_dataset.py data_ratio slice)."""
+    from flashvtg_tpu.data.dataset import DataConfig, VTGDataset
+    from flashvtg_tpu.utils.synthetic import make_synthetic_qvh
+
+    ann, vdir, qdir = make_synthetic_qvh(
+        str(tmp_path), n_queries=8, v_dim=16, t_dim=12, n_clips=8
+    )
+    kw = dict(
+        dset_name="hl", data_path=ann, v_feat_dirs=(vdir,), q_feat_dir=qdir,
+        max_q_l=6, max_v_l=8,
+    )
+    assert len(VTGDataset(DataConfig(**kw))) == 8
+    assert len(VTGDataset(DataConfig(data_ratio=0.5, **kw))) == 4
+    assert len(VTGDataset(DataConfig(data_ratio=0.3, **kw))) == 2  # floor
