@@ -36,9 +36,71 @@ BASELINE_QUERIES = 32  # reference bsz=1 CPU loop is slow; subsample and scale
 FALLBACK_CPU_BASELINE_QPS = 5.0  # measured reference CPU rate, used only if
                                  # the reference tree is unavailable
 
+# Last driver-verified on-chip measurement (BENCH_r02.json). Carried in the
+# failure record so a dead-tunnel round still documents the standing claim.
+LAST_VERIFIED = {
+    "round": 2,
+    "value": 10914.6,
+    "unit": "queries/s",
+    "vs_baseline": 502.99,
+}
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# Sentinel bracketing the platform token in the probe child's stdout: JAX
+# plugins may print arbitrary lines to stdout, so the parent must not parse
+# positionally ("last token") — it scans for this marker instead.
+PROBE_SENTINEL = "FLASHVTG_TPU_PROBE_PLATFORM"
+PROBE_CHILD_SRC = (
+    "import jax; "
+    f"print('{PROBE_SENTINEL}=' + jax.devices()[0].platform + "
+    f"'={PROBE_SENTINEL}')"
+)
+
+
+def parse_probe_platform(stdout: str) -> str:
+    """Extract the platform token from probe-child stdout.
+
+    Tolerates plugin/banner noise on any line before, after, or around the
+    sentinel line; returns "" if no well-formed sentinel line is present."""
+    for line in stdout.splitlines():
+        line = line.strip()
+        start = line.find(PROBE_SENTINEL + "=")
+        if start < 0:
+            continue
+        rest = line[start + len(PROBE_SENTINEL) + 1:]
+        end = rest.find("=" + PROBE_SENTINEL)
+        if end >= 0:
+            return rest[:end].strip()
+    return ""
+
+
+def relay_ports_open() -> bool | None:
+    """Fast pre-check of the axon tunnel's local relay ports.
+
+    The axon backend dials fixed localhost ports served by a stdio relay
+    (/root/.tpu_init.py); when the relay process is gone, every connect is
+    refused immediately, while the JAX client retries forever. Returning
+    False here lets the bench fail in seconds instead of burning the full
+    enumeration timeout. Returns None when not on axon (no opinion)."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return None
+    import socket
+
+    for port in (8082, 8083, 8087):
+        s = socket.socket()
+        s.settimeout(2.0)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
 
 
 def tpu_reachable(timeout_s: int = 300) -> bool:
@@ -53,26 +115,30 @@ def tpu_reachable(timeout_s: int = 300) -> bool:
     queues no server-side compile work, unlike killing a compile.)"""
     import subprocess
 
+    if relay_ports_open() is False:
+        log("tpu probe: axon relay ports refused on localhost — the tunnel "
+            "relay process is not running; skipping device enumeration")
+        return False
     try:
         res = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
+            [sys.executable, "-c", PROBE_CHILD_SRC],
             timeout=timeout_s, capture_output=True, text=True,
         )
     except subprocess.TimeoutExpired:
         log("tpu probe: device enumeration timed out (dead tunnel?)")
         return False
-    platform = res.stdout.strip().split()[-1] if res.stdout.strip() else ""
     if res.returncode != 0:
         log(f"tpu probe: enumeration failed rc={res.returncode}: "
             f"{res.stderr.strip()[-500:]}")
         return False
+    platform = parse_probe_platform(res.stdout)
     # reject known non-TPU backends: a silent CPU fallback (libtpu absent /
     # plugin misconfigured) would otherwise record CPU throughput under the
     # TPU metric name. Accept any other platform string — the tunneled
     # plugin's self-reported name is not pinned here.
     if platform in ("cpu", "cuda", "rocm", "gpu", ""):
-        log(f"tpu probe: default backend is {platform!r}, not a TPU")
+        log(f"tpu probe: default backend is {platform!r}, not a TPU "
+            f"(probe stdout: {res.stdout.strip()[-300:]!r})")
         return False
     return True
 
@@ -245,11 +311,17 @@ def main():
             json.dumps(
                 {
                     "metric": "qvh_val_queries_per_sec_per_chip",
-                    "value": 0.0,
+                    # null, not 0.0: a consumer that ignores the error field
+                    # must not ingest the failure as a throughput sample.
+                    "value": None,
                     "unit": "queries/s",
-                    "vs_baseline": 0.0,
-                    "error": "tpu backend unreachable (device enumeration "
-                             "timed out; dead axon tunnel?)",
+                    "vs_baseline": None,
+                    "error": "tpu backend unreachable (relay ports refused "
+                             "or device enumeration timed out; dead axon "
+                             "tunnel?)",
+                    # the standing perf claim, so a dead-tunnel round still
+                    # documents the last driver-verifiable number.
+                    "last_verified": LAST_VERIFIED,
                 }
             )
         )

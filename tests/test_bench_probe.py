@@ -1,0 +1,125 @@
+"""bench.py TPU-probe hardening (VERDICT r3 Missing #1 / Weak #2).
+
+The probe's platform parsing must survive plugin noise on stdout: the round-3
+parser took the last whitespace token of the whole stream, so any plugin that
+printed to stdout after the platform line would shift the token and make the
+bench self-reject against a *live* TPU. The sentinel-delimited parser is
+pinned here against noisy fixtures, and the dead-tunnel failure record is
+pinned to carry value=null (not 0.0) plus the last-verified measurement.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+S = bench.PROBE_SENTINEL
+
+
+class TestParseProbePlatform:
+    def test_clean(self):
+        assert bench.parse_probe_platform(f"{S}=TPU v5e={S}\n") == "TPU v5e"
+
+    def test_plugin_noise_before_and_after(self):
+        out = (
+            "WARNING: All log messages before absl::InitializeLog()\n"
+            "libtpu plugin loaded, version 0.0.17\n"
+            f"{S}=tpu={S}\n"
+            "I0000 00:00 profiler server started on port 9999\n"
+        )
+        assert bench.parse_probe_platform(out) == "tpu"
+
+    def test_noise_on_same_line(self):
+        # a plugin writing without a trailing newline can glue its output
+        # onto the sentinel line; the parser keys on the markers, not the
+        # line boundaries.
+        out = f"[plugin] ready {S}=axon={S} trailing junk\n"
+        assert bench.parse_probe_platform(out) == "axon"
+
+    def test_empty_and_garbage(self):
+        assert bench.parse_probe_platform("") == ""
+        assert bench.parse_probe_platform("cpu\n") == ""
+        assert bench.parse_probe_platform(f"{S}=unterminated\n") == ""
+
+    def test_cpu_fallback_still_rejected(self):
+        # the sentinel must not hide a silent CPU fallback: the platform
+        # token it extracts is what the cpu/gpu reject-list checks.
+        assert bench.parse_probe_platform(f"{S}=cpu={S}\n") == "cpu"
+
+    def test_child_src_emits_parseable_line(self):
+        # run the actual probe child source with a stubbed jax: whatever
+        # bench sends to the subprocess must round-trip through the parser.
+        code = (
+            "import sys, types\n"
+            "jax = types.ModuleType('jax')\n"
+            "jax.devices = lambda: [types.SimpleNamespace(platform='tpu')]\n"
+            "sys.modules['jax'] = jax\n"
+            + bench.PROBE_CHILD_SRC
+        )
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True
+        )
+        assert res.returncode == 0, res.stderr
+        assert bench.parse_probe_platform(res.stdout) == "tpu"
+
+
+class TestRelayPreProbe:
+    def test_no_opinion_off_axon(self, monkeypatch):
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        assert bench.relay_ports_open() is None
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        assert bench.relay_ports_open() is None
+
+    def test_refused_ports_fail_fast(self, monkeypatch):
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        # nothing listens on the relay ports in the CPU test env, so the
+        # pre-probe must return False within its 2 s/port budget.
+        assert bench.relay_ports_open() is False
+
+    def test_open_port_detected(self, monkeypatch):
+        import socket
+        import threading
+
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        try:
+            srv.bind(("127.0.0.1", 8082))
+        except OSError:
+            # port taken by a real relay — then open detection is live
+            assert bench.relay_ports_open() is True
+            return
+        srv.listen(1)
+
+        def _accept_quietly():
+            try:
+                srv.accept()
+            except OSError:
+                pass  # server socket closed by the test teardown
+
+        t = threading.Thread(target=_accept_quietly, daemon=True)
+        t.start()
+        try:
+            assert bench.relay_ports_open() is True
+        finally:
+            srv.close()
+
+
+class TestFailureRecord:
+    def test_dead_tunnel_record_is_null_not_zero(self, monkeypatch, capsys):
+        monkeypatch.setattr(bench, "tpu_reachable", lambda: False)
+        try:
+            bench.main()
+        except SystemExit as e:
+            assert e.code == 1
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["value"] is None
+        assert rec["vs_baseline"] is None
+        assert "error" in rec
+        lv = rec["last_verified"]
+        assert lv["round"] == 2 and lv["value"] == 10914.6
