@@ -228,10 +228,22 @@ def bench_tpu():
             best = min(best, time.perf_counter() - t0)
         return N_QUERIES / best, warm
 
+    from flashvtg_tpu.utils.flops import mfu as mfu_of, model_flops
+
+    flops_per_query = (
+        model_flops(cfg.model_config(), 1, LQ, LV, train=False)["fwd"]
+    )
+    log(f"analytic forward FLOPs/query (Lv={LV}, Lq={LQ}): "
+        f"{flops_per_query / 1e9:.3f} GF")
+
     log(f"devices: {jax.devices()}")
     qps, warm = timed_qps(step, iters=3)
     log(f"warmup (incl. compile): {warm:.2f}s")
-    log(f"tpu ({cfg.eval_precision}): {N_QUERIES} queries at {qps:.1f} q/s")
+    util = mfu_of(flops_per_query * qps, 1.0, cfg.eval_precision)
+    log(f"tpu ({cfg.eval_precision}): {N_QUERIES} queries at {qps:.1f} q/s | "
+        f"{util['achieved_tflops']:.1f} TF/s, MFU {util['mfu']:.3f} vs bf16 "
+        f"peak, {util['mfu_effective']:.3f} vs the "
+        f"{cfg.eval_precision} pass-adjusted ceiling")
 
     # side measurements (stderr only): MXU precision headroom for serving
     # deployments that accept lower-precision matmuls. The headline number
@@ -241,10 +253,13 @@ def bench_tpu():
             pqps, _ = timed_qps(
                 make_eval_step(model, cfg.max_num_moment, prec), iters=2
             )
-            log(f"tpu ({prec}, serving headroom): {pqps:.1f} q/s")
+            putil = mfu_of(flops_per_query * pqps, 1.0, prec)
+            log(f"tpu ({prec}, serving headroom): {pqps:.1f} q/s | "
+                f"{putil['achieved_tflops']:.1f} TF/s, MFU {putil['mfu']:.3f}"
+                f", effective {putil['mfu_effective']:.3f}")
         except Exception as e:
             log(f"{prec} side-measurement skipped: {e!r}")
-    return qps
+    return qps, util
 
 
 def bench_reference_cpu():
@@ -326,7 +341,7 @@ def main():
             )
         )
         sys.exit(1)
-    tpu_qps = bench_tpu()
+    tpu_qps, util = bench_tpu()
     cpu_qps = bench_reference_cpu()
     print(
         json.dumps(
@@ -335,6 +350,13 @@ def main():
                 "value": round(tpu_qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(tpu_qps / cpu_qps, 2),
+                # model-FLOPs utilization (utils/flops.py): achieved TFLOP/s
+                # from the analytic forward FLOP count; `mfu` vs the v5e
+                # bf16 MXU peak (197 TF/s), `mfu_effective` vs the
+                # matmul-pass-adjusted ceiling of the serving precision.
+                "achieved_tflops": round(util["achieved_tflops"], 2),
+                "mfu": round(util["mfu"], 4),
+                "mfu_effective": round(util["mfu_effective"], 4),
             }
         )
     )

@@ -203,9 +203,26 @@ def main():
     log(f"scan epoch (K={K}): {done} steps in {dts:.3f}s -> "
         f"{spss:.2f} steps/s ({spss * BSZ:.0f} samples/s)")
 
+    # model-FLOPs utilization of the best path (scan epoch): analytic
+    # fwd+bwd FLOPs per step vs the v5e MXU peak (utils/flops.py)
+    from flashvtg_tpu.utils.flops import mfu as mfu_of, model_flops
+
+    step_flops = model_flops(
+        cfg.model_config(), BSZ, LQ, LV, train=True
+    )["fwd_bwd"]
+    util = mfu_of(step_flops * spss, 1.0, cfg.train_precision)
+    log(f"scan epoch utilization: {step_flops / 1e9:.1f} GF/step -> "
+        f"{util['achieved_tflops']:.1f} TF/s, MFU {util['mfu']:.3f} vs bf16 "
+        f"peak, {util['mfu_effective']:.3f} vs the {cfg.train_precision} "
+        f"pass-adjusted ceiling")
+
     out = {
         "preset": PRESET,
         "batch": BSZ,
+        "step_gflops_fwd_bwd": round(step_flops / 1e9, 1),
+        "achieved_tflops_scan": round(util["achieved_tflops"], 2),
+        "mfu_scan": round(util["mfu"], 4),
+        "mfu_effective_scan": round(util["mfu_effective"], 4),
         "train_steps_per_sec_feed": round(spsf, 2),
         "samples_per_sec_feed": round(spsf * BSZ, 1),
         "train_steps_per_sec_scan": round(spss, 2),
