@@ -26,6 +26,22 @@ from flashvtg_tpu.train.config import (
 )
 
 
+def _bool_literal(s: str) -> bool:
+    v = s.lower()
+    if v in ("1", "true", "yes"):
+        return True
+    if v in ("0", "false", "no"):
+        return False
+    # an unknown token here usually means a bare bool flag placed BEFORE
+    # the positional config swallowed the config name (nargs="?" grabs the
+    # next token); rejecting loudly beats silently parsing it as False
+    raise argparse.ArgumentTypeError(
+        f"expected a boolean literal (true/false/1/0/yes/no), got {s!r}. "
+        "If this is your config name, put bare bool flags AFTER the "
+        "positional config (e.g. `cli train mypreset --debug`)."
+    )
+
+
 def _add_config_flags(parser: argparse.ArgumentParser):
     for f in dataclasses.fields(ExperimentConfig):
         name = f"--{f.name}"
@@ -37,7 +53,7 @@ def _add_config_flags(parser: argparse.ArgumentParser):
             # style) and explicit `--debug true/false`
             parser.add_argument(
                 name, nargs="?", const=True, default=None,
-                type=lambda s: s.lower() in ("1", "true", "yes"),
+                type=_bool_literal,
             )
         elif str(f.type).startswith("int") or "int" in str(f.type):
             parser.add_argument(name, type=int, default=None)

@@ -226,7 +226,8 @@ def stop_metric(cfg: ExperimentConfig, brief: Dict[str, float]) -> float:
 
 
 def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
-             loss_cfg=None, mesh=None, compute_metrics=None):
+             loss_cfg=None, mesh=None, compute_metrics=None,
+             split_name=None):
     """Eval pass; returns (metrics, metrics_nms, eval_losses). `loss_cfg`
     additionally evaluates the criterion on the eval split (reference logs
     per-epoch eval losses, inference.py:300-306 + train.py:183-184).
@@ -234,7 +235,12 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
     On multi-controller runs every host computes (redundant local eval, see
     train()) but only process 0 writes the submission/metric files.
     `compute_metrics` overrides the default split-name gate (needed for a
-    --test_path split whose rows carry ground truth)."""
+    --test_path split whose rows carry ground truth). `split_name` names
+    the split component of the output files (default cfg.eval_split_name;
+    the --test_path finals pass "test" so their artifacts are not labeled
+    with the val split's name)."""
+    if split_name is None:
+        split_name = cfg.eval_split_name
     if compute_metrics is None:
         compute_metrics = cfg.eval_split_name == "val"
     is_proc0 = jax.process_index() == 0
@@ -251,7 +257,7 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
     )
     infer_s = time.time() - t0
     sub_path = os.path.join(
-        results_dir, f"{tag}_{cfg.dset_name}_{cfg.eval_split_name}_preds.jsonl"
+        results_dir, f"{tag}_{cfg.dset_name}_{split_name}_preds.jsonl"
     )
     if is_proc0:
         save_jsonl(submission, sub_path)
@@ -514,10 +520,34 @@ def find_auto_resume(cfg) -> Optional[str]:
                 saved = _json.load(f)
         except (OSError, ValueError):
             return False
-        return all(
+        # identity AND shape-determining fields: a rerun that reuses exp_id
+        # with a changed architecture must fall through to a fresh start,
+        # not die later on an opaque orbax shape mismatch (ADVICE r3).
+        shape_keys = (
+            "variant", "hidden_dim", "nheads", "enc_layers", "t2v_layers",
+            "dummy_layers", "num_dummies", "dim_feedforward", "strides",
+            "v_feat_dim", "t_feat_dim", "max_v_l",
+        )
+
+        def _norm(v):
+            return list(v) if isinstance(v, (list, tuple)) else v
+
+        if not all(
             saved.get(k) == getattr(cfg, k)
             for k in ("dset_name", "ctx_mode", "exp_id")
-        )
+        ):
+            return False
+        mismatched = [
+            k for k in shape_keys
+            if k in saved and _norm(saved[k]) != _norm(getattr(cfg, k, None))
+        ]
+        if mismatched:
+            logger.info(
+                "--resume auto: skipping %s (same exp_id but different "
+                "model shape: %s)", ckpt_dir, ", ".join(mismatched),
+            )
+            return False
+        return True
 
     candidates = sorted(
         (
@@ -764,7 +794,8 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     if pc > 1:
         eval_mesh = build_mesh_for(cfg.eval_bsz, devices=jax.local_devices())
 
-    def _eval_with(prms, dataset, tag, losses=None, compute_metrics=None):
+    def _eval_with(prms, dataset, tag, losses=None, compute_metrics=None,
+                   split_name=None):
         if pc > 1:
             # params live on the cross-host mesh; pull the (fully
             # replicated, hence addressable) copy and re-place it on this
@@ -781,7 +812,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
         return evaluate(
             cfg, model, prms, dataset, results_dir, tag=tag,
             loss_cfg=losses, mesh=eval_mesh,
-            compute_metrics=compute_metrics,
+            compute_metrics=compute_metrics, split_name=split_name,
         )
     # feed-mode batches skip feature padding entirely: features are gathered
     # on-device from the HBM residents, the host ships labels + indices
@@ -1077,11 +1108,22 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             )
         )
         # MR metrics need ground-truth windows in the annotations (a held-
-        # out test jsonl without them still gets its predictions written)
-        test_has_gt = bool(test_dataset.data) and (
-            "relevant_windows" in test_dataset.data[0]
-            or cfg.dset_name in ("tvsum", "youtube_uni")
+        # out test jsonl without them still gets its predictions written).
+        # ALL rows must carry GT — a mixed file would crash the matcher on
+        # its first GT-less row, so metrics are skipped and the decision
+        # logged with the row counts.
+        n_rows = len(test_dataset.data)
+        n_gt = sum(
+            1 for r in test_dataset.data if "relevant_windows" in r
         )
+        test_has_gt = n_rows > 0 and (
+            n_gt == n_rows or cfg.dset_name in ("tvsum", "youtube_uni")
+        )
+        if not test_has_gt:
+            logger.info(
+                "[final] test split: %d/%d rows carry relevant_windows -> "
+                "writing predictions only, skipping MR metrics", n_gt, n_rows,
+            )
         finals = [("latest", params)] + (
             [("best", best_params)] if have_best else []
         )
@@ -1089,7 +1131,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             m_val, _, _ = _eval_with(prms, eval_dataset, tag=f"val_{which}")
             m_test, _, _ = _eval_with(
                 prms, test_dataset, tag=f"test_{which}",
-                compute_metrics=test_has_gt,
+                compute_metrics=test_has_gt, split_name="test",
             )
             for split, m in (("val", m_val), ("test", m_test)):
                 if m is not None:

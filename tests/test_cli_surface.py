@@ -101,3 +101,16 @@ def test_bare_bool_flags_parse_like_store_true():
     # the reference's inverted spelling of its one store_false pair
     cfg, _ = parse_config(["qvhighlights_slowclip", "--no_aux_loss"])
     assert cfg.aux_loss is False
+
+
+def test_bool_flag_rejects_unknown_literal():
+    """ADVICE r3: a bare bool flag placed before the positional config
+    swallows the config token; the type must reject non-boolean literals
+    loudly (argparse exits 2 with the ArgumentTypeError message) instead of
+    silently parsing them to False."""
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_config(["--debug", "qvhighlights_slowclip"])
+    with pytest.raises(SystemExit):
+        parse_config(["qvhighlights_slowclip", "--debug", "banana"])

@@ -84,3 +84,41 @@ def test_auto_resume_scoped_to_experiment(tmp_path):
         exp_id="nobody", dset_name="hl", results_root=str(root)
     )
     assert find_auto_resume(cfg_none) is None
+
+
+def test_auto_resume_skips_changed_model_shape(tmp_path):
+    """ADVICE r3: same exp_id but changed shape-determining flags must fall
+    through to a fresh start instead of restoring a stale checkpoint and
+    dying later on an orbax shape error."""
+    import json
+
+    from flashvtg_tpu.train.config import ExperimentConfig
+    from flashvtg_tpu.train.loop import find_auto_resume
+
+    root = tmp_path / "results"
+    d = root / "stale"
+    (d / "model_latest").mkdir(parents=True)
+    old = ExperimentConfig(exp_id="mine", dset_name="hl", hidden_dim=128)
+    with open(d / "opt.json", "w") as f:
+        json.dump(
+            {"dset_name": old.dset_name, "ctx_mode": old.ctx_mode,
+             "exp_id": old.exp_id, "hidden_dim": old.hidden_dim,
+             "strides": list(old.strides), "variant": old.variant}, f,
+        )
+
+    # same identity + same shapes -> picked up (strides list==tuple compare)
+    same = ExperimentConfig(
+        exp_id="mine", dset_name="hl", hidden_dim=128, results_root=str(root)
+    )
+    assert find_auto_resume(same) == str(d / "model_latest")
+    # changed hidden_dim -> skipped
+    changed = ExperimentConfig(
+        exp_id="mine", dset_name="hl", hidden_dim=256, results_root=str(root)
+    )
+    assert find_auto_resume(changed) is None
+    # changed variant -> skipped
+    ms = ExperimentConfig(
+        exp_id="mine", dset_name="hl", hidden_dim=128, variant="ms",
+        results_root=str(root),
+    )
+    assert find_auto_resume(ms) is None

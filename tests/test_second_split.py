@@ -42,13 +42,16 @@ def test_test_path_final_evals(tmp_path):
 
     _, score, results_dir = train(cfg, results_dir=str(tmp_path / "run"))
 
-    for tag in ("val_latest", "test_latest", "val_best", "test_best"):
-        path = os.path.join(results_dir, f"{tag}_hl_val_preds.jsonl")
+    # the filename's split component names the actual split evaluated
+    # (ADVICE r3: test-split artifacts used to be mislabeled `..._val_...`)
+    for tag, split in (("val_latest", "val"), ("test_latest", "test"),
+                       ("val_best", "val"), ("test_best", "test")):
+        path = os.path.join(results_dir, f"{tag}_hl_{split}_preds.jsonl")
         assert os.path.exists(path), tag
         metrics = path.replace(".jsonl", "_metrics.json")
         assert os.path.exists(metrics), tag  # both splits carry GT windows
     n_test = sum(1 for _ in open(
-        os.path.join(results_dir, "test_latest_hl_val_preds.jsonl")
+        os.path.join(results_dir, "test_latest_hl_test_preds.jsonl")
     ))
     assert n_test == 8  # the test split's own rows, not the val split's
     assert np.isfinite(score)
