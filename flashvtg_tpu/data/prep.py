@@ -25,6 +25,7 @@ from typing import Dict
 import numpy as np
 
 from flashvtg_tpu.data.dataset import TVSUM_DOMAINS  # noqa: F401 (re-export)
+from flashvtg_tpu.data.youtube_splits import YOUTUBE_SPLITS
 from flashvtg_tpu.utils.io import save_jsonl
 
 # Domain splits (data assets; oracle: data/tvsum/tvsum_splits.py — identical
@@ -110,7 +111,7 @@ def main(argv=None):
     parser.add_argument("--feat_root", default=None)
     parser.add_argument("--out_dir", required=True)
     parser.add_argument("--splits_json", default=None,
-                        help="override domain splits (e.g. for youtube)")
+                        help="override the vendored domain splits")
     args = parser.parse_args(argv)
 
     with open(args.anno) as f:
@@ -121,7 +122,7 @@ def main(argv=None):
     elif args.dataset == "tvsum":
         splits = TVSUM_SPLITS
     else:
-        raise SystemExit("youtube requires --splits_json with domain splits")
+        splits = YOUTUBE_SPLITS
 
     available = videos_with_features(args.feat_root) if args.feat_root else None
     train_rows, val_rows = build_rows(anno, splits, args.dataset, available)

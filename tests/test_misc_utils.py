@@ -51,6 +51,52 @@ def test_prep_build_rows_tvsum():
     assert len(row["label"]) == 50 and len(row["label"][0]) == 1
 
 
+def test_prep_build_rows_youtube():
+    """youtube rows need no --splits_json: vendored YOUTUBE_SPLITS routes
+    by domain, query is the domain, saliency binarizes `match`, and the
+    UniVTG extras (frames/fps/clip/match) ride along."""
+    from flashvtg_tpu.data.prep import YOUTUBE_SPLITS
+
+    anno = {
+        "BsjTtq337mM": {  # dog/train in the vendored splits
+            "frames": 900,
+            "fps": 30,
+            "domain": "dog",
+            "match": [0, 2, 0, 1],
+            "clip": [[0, 1], [1, 2], [2, 3], [3, 4]],
+        },
+        "a2nj7XCo2Rk": {  # dog/val
+            "frames": 600,
+            "fps": 30,
+            "domain": "dog",
+            "match": [1, 0],
+            "clip": [[0, 1], [1, 2]],
+        },
+    }
+    train, val = build_rows(anno, YOUTUBE_SPLITS, "youtube")
+    assert len(train) == 1 and len(val) == 1
+    row = train[0]
+    assert row["vid"] == "BsjTtq337mM"
+    assert row["query"] == "dog"
+    assert row["duration"] == 30.0
+    assert row["label"] == [[0], [1], [0], [1]]
+    assert row["match"] == [0, 2, 0, 1] and row["fps"] == 30.0
+
+
+def test_youtube_splits_match_reference():
+    """The vendored splits are a dataset ground-truth asset; pin them
+    bit-for-bit against the reference's youtube_splits.py."""
+    import importlib.util
+
+    from flashvtg_tpu.data.youtube_splits import YOUTUBE_SPLITS
+
+    ref_path = "/root/reference/data/youtube_uni/youtube_splits.py"
+    spec = importlib.util.spec_from_file_location("ref_yt_splits", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    assert YOUTUBE_SPLITS == ref.YOUTUBE_SPLITS
+
+
 def test_model_cfg_files():
     for name, strides, cls in [
         ("configs/MR.py", (1, 2, 4, 8), "focal"),
