@@ -257,6 +257,24 @@ def main(argv=None):
         save_torch_checkpoint(
             export_path, params, mc, variant=cfg.variant, epoch=epoch
         )
+        # Sidecars so reference-repo users can run their own
+        # FlashVTG/inference.py on the export: TestOptions reloads opt.json
+        # from dirname(--resume) (config.py:189-203) and builds the model
+        # from the opt.json-pinned config file (inference.py:495). Never
+        # clobber a training run's opt.json (it may carry feature dirs this
+        # export invocation was not given).
+        export_dir = os.path.dirname(os.path.abspath(export_path))
+        opt_sidecar = os.path.join(export_dir, "opt.json")
+        if not os.path.exists(opt_sidecar):
+            # eval_bsz=1: the reference model hard-asserts bs==1 in eval
+            # forward (model.py:248) and every shipped script trains with
+            # --eval_bsz 1; our own reload lets explicit CLI flags override
+            cfg.replace(eval_bsz=1).save(opt_sidecar)
+        else:
+            from flashvtg_tpu.train.config import emit_model_cfg
+
+            with open(os.path.join(export_dir, "model_cfg.py"), "w") as f:
+                f.write(emit_model_cfg(cfg))
         print(f"exported reference-format checkpoint to {export_path}")
         return 0
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import logging
+import os
 from typing import Optional, Sequence, Tuple
 
 from flashvtg_tpu.losses.criterion import LossConfig
@@ -366,9 +367,29 @@ class ExperimentConfig:
         )
 
     # opt.json round-trip (reference saves/reloads all flags, config.py:171-203)
-    def save(self, path):
+    def save(self, path, reference_sidecar: bool = True):
+        """Write opt.json. With reference_sidecar (default), the json is
+        enriched with the derived keys the reference's TestOptions reload
+        consumes downstream (opt.results_dir / opt.device / opt.config,
+        config.py:189-203 + inference.py:495) and a reference-style
+        model-config file is emitted beside it — so a results (or export)
+        dir is directly runnable by the reference's FlashVTG/inference.py
+        on an exported checkpoint. Extra keys are harmless to our own
+        reload (load() filters to dataclass fields)."""
+        d = dataclasses.asdict(self)
+        if reference_sidecar:
+            run_dir = os.path.dirname(os.path.abspath(path))
+            cfg_py = os.path.join(run_dir, "model_cfg.py")
+            with open(cfg_py, "w") as f:
+                f.write(emit_model_cfg(self))
+            d.update(
+                device=-1,  # reference: 0 = cuda, -1 = cpu (torch target)
+                num_workers=0,
+                results_dir=run_dir,
+                config=cfg_py,
+            )
         with open(path, "w") as f:
-            json.dump(dataclasses.asdict(self), f, indent=2, default=list)
+            json.dump(d, f, indent=2, default=list)
 
     @classmethod
     def load(cls, path) -> "ExperimentConfig":
@@ -424,6 +445,57 @@ def apply_model_cfg(cfg: ExperimentConfig, model_dict: dict) -> ExperimentConfig
         if "sample_radius" in loss_cfg:
             kw["sample_radius"] = loss_cfg["sample_radius"]
     return cfg.replace(**kw)
+
+
+def emit_model_cfg(cfg: "ExperimentConfig") -> str:
+    """Inverse of apply_model_cfg: render a reference-style data/MR*.py
+    model-config file for this experiment.
+
+    The reference's FlashVTG/inference.py builds its model from
+    `opt.cfg = nncore.Config.from_file(opt.config)` (inference.py:495,
+    model.py:806-811 and :333), so an exported checkpoint needs a matching
+    config file for reference-repo users to evaluate it there. The emitted
+    text mirrors the shipped data/{MR,MR_GFL,HD}.py shapes, including the
+    `_base_ = ['blocks']` registry import."""
+    type_map = {"focal": "FocalLoss", "dynamic_bce": "DynamicBCELoss",
+                "l1": "L1Loss", "nce": "SampledNCELoss"}
+
+    def entry(kind: Optional[str], extra: str = "") -> str:
+        return f"dict(type='{type_map[kind]}'{extra})" if kind else "None"
+
+    dirs = tuple(cfg.nce_direction)
+    sal_extra = "" if dirs == ("row", "col") else (
+        f", direction={dirs[0]!r}" if len(dirs) == 1 else f", direction={dirs!r}"
+    )
+    loss_lines = [
+        "    loss_cfg=dict(",
+        "        type='BundleLoss',",
+        f"        sample_radius={cfg.sample_radius},",
+    ]
+    if cfg.loss_qfl:
+        # data/MR_GFL.py omits loss_cls entirely in favour of loss_qfl
+        loss_lines.append("        loss_qfl=dict(type='QualityFocalLoss'),")
+    else:
+        loss_lines.append(f"        loss_cls={entry(cfg.loss_cls)},")
+    loss_lines += [
+        f"        loss_reg={entry(cfg.loss_reg)},",
+        f"        loss_sal={entry(cfg.loss_sal, sal_extra)},",
+        "    ),",
+    ]
+    lines = [
+        "_base_ = ['blocks']",
+        "model = dict(",
+        f"    strides={tuple(cfg.strides)!r},",
+        f"    buffer_size={cfg.buffer_size},",
+        f"    max_num_moment={cfg.max_num_moment},",
+        "    pyramid_cfg=dict(type='ConvPyramid'),",
+        "    pooling_cfg=dict(type='AdaPooling'),",
+        "    class_head_cfg=dict(type='ConvHead', kernal_size=3),",
+        "    coord_head_cfg=dict(type='ConvHead', kernal_size=3),",
+        *loss_lines,
+        ")",
+    ]
+    return "\n".join(lines) + "\n"
 
 
 # ---------------------------------------------------------------------------

@@ -487,12 +487,15 @@ def apply_nms(submission: List[dict], nms_thd: float, nms_type: str):
     for i, s in enumerate(submission):
         m = len(s["pred_relevant_windows"])
         keep = out_spans[i, :, 0] < 1e6  # drop parked pad slots
+        # scores serialize as the f64 expansion of their f32 value, NOT
+        # re-rounded to 4dp: the reference's NMS round-trips each row
+        # through a default-dtype torch.tensor (inference.py:39 + :54
+        # .tolist()), so its nms jsonl carries f32 noise like
+        # 0.4659000039100647 — reproduced here byte-for-byte
         rows = np.concatenate(
             [
                 out_spans[i][keep][:m].astype(np.float64),
-                np.round(
-                    out_scores[i][keep][:m].astype(np.float64), 4
-                )[:, None],
+                out_scores[i][keep][:m].astype(np.float64)[:, None],
             ],
             axis=1,
         ).tolist()

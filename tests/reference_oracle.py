@@ -138,3 +138,163 @@ def build_reference_model(args, strides=(1, 2, 4, 8), buffer_size=1024,
     )
     model.eval()
     return model
+
+
+def write_subprocess_shims(shim_dir: str) -> str:
+    """Materialize importable stand-ins for the external packages the
+    reference's literal entry points need (`python FlashVTG/inference.py`
+    run as a subprocess): nncore (registries + Config.from_file +
+    ops.temporal_iou/swap_element + the built-in Focal/L1 losses the
+    shipped configs name), torchtext (only imported; the vocab path is
+    charadesSTA+vgg-only, start_end_dataset.py:130-139) and wandb (only
+    imported, inference.py:12). Returns shim_dir for PYTHONPATH use.
+
+    The Focal/L1 torch re-implementations match the ones value+grad
+    validated in tests/test_criterion_parity.py.
+    """
+    import os
+
+    nc = os.path.join(shim_dir, "nncore")
+    os.makedirs(nc, exist_ok=True)
+    with open(os.path.join(nc, "nn.py"), "w") as f:
+        f.write('''\
+import torch
+import torch.nn.functional as F
+
+Parameter = torch.nn.Parameter
+
+
+class _Registry:
+    def __init__(self):
+        self.map = {}
+
+    def register(self):
+        def deco(cls):
+            self.map[cls.__name__] = cls
+            return cls
+
+        return deco
+
+
+MODELS, LOSSES = _Registry(), _Registry()
+
+
+def build_model(cfg, *args, **kwargs):
+    cfg = dict(cfg)
+    cls = MODELS.map[cfg.pop("type")]
+    return cls(*args, **cfg, **kwargs)
+
+
+def build_loss(cfg):
+    if cfg is None:
+        return None
+    cfg = dict(cfg)
+    return LOSSES.map[cfg.pop("type")](**cfg)
+
+
+class FocalLoss(torch.nn.Module):
+    def __init__(self, alpha=0.25, gamma=2.0, loss_weight=1.0):
+        super().__init__()
+        self.alpha, self.gamma, self.w = alpha, gamma, loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        p = pred.sigmoid()
+        pt = (1 - p) * target + p * (1 - target)
+        fw = (self.alpha * target + (1 - self.alpha) * (1 - target)) * pt.pow(self.gamma)
+        loss = F.binary_cross_entropy_with_logits(pred, target, reduction="none") * fw
+        if weight is not None:
+            loss = loss * weight
+        return self.w * loss.sum() / avg_factor
+
+
+class L1Loss(torch.nn.Module):
+    def __init__(self, loss_weight=1.0):
+        super().__init__()
+        self.w = loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        loss = (pred - target).abs()
+        if weight is not None:
+            loss = loss * weight
+        return self.w * loss.sum() / avg_factor
+
+
+LOSSES.map["FocalLoss"] = FocalLoss
+LOSSES.map["L1Loss"] = L1Loss
+''')
+    with open(os.path.join(nc, "ops.py"), "w") as f:
+        f.write('''\
+import torch
+
+
+def temporal_iou(spans1, spans2):
+    areas1 = spans1[:, 1] - spans1[:, 0]
+    areas2 = spans2[:, 1] - spans2[:, 0]
+    left = torch.max(spans1[:, None, 0], spans2[None, :, 0])
+    right = torch.min(spans1[:, None, 1], spans2[None, :, 1])
+    inter = (right - left).clamp(min=0)
+    union = areas1[:, None] + areas2[None, :] - inter
+    return inter / union
+''')
+    with open(os.path.join(nc, "__init__.py"), "w") as f:
+        f.write('''\
+import importlib
+
+from . import nn, ops
+from .nn import LOSSES, MODELS, Parameter, build_loss, build_model
+
+
+class _AttrDict(dict):
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+        return _AttrDict(v) if isinstance(v, dict) else v
+
+
+class Config:
+    @staticmethod
+    def from_file(path):
+        ns = {}
+        with open(path) as f:
+            exec(compile(f.read(), path, "exec"), {}, ns)
+        for base in ns.get("_base_", ()):
+            try:
+                importlib.import_module(base)  # registry side-effects
+            except ImportError:
+                pass
+        return _AttrDict({k: v for k, v in ns.items() if not k.startswith("_")})
+
+
+def swap_element(x, i, j):
+    x = x.clone()
+    tmp = x[i].clone()
+    x[i] = x[j]
+    x[j] = tmp
+    return x
+''')
+
+    tt = os.path.join(shim_dir, "torchtext")
+    os.makedirs(tt, exist_ok=True)
+    with open(os.path.join(tt, "vocab.py"), "w") as f:
+        f.write("pretrained_aliases = {}\n")
+    with open(os.path.join(tt, "__init__.py"), "w") as f:
+        f.write("from . import vocab\n")
+
+    wb = os.path.join(shim_dir, "wandb")
+    os.makedirs(wb, exist_ok=True)
+    with open(os.path.join(wb, "__init__.py"), "w") as f:
+        f.write('''\
+def init(*a, **k):
+    return None
+
+
+def log(*a, **k):
+    return None
+
+
+def finish(*a, **k):
+    return None
+''')
+    return shim_dir

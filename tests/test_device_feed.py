@@ -56,6 +56,7 @@ def test_feed_matches_per_sample_collate(env):
         )
 
 
+@pytest.mark.slow
 def test_train_with_feed_matches_streamed(env):
     # scan_steps=0: this test isolates feed RESIDENCY (gathered features ==
     # streamed features) at tight tolerance; the scan fast path drifts by

@@ -112,6 +112,29 @@ def test_model_cfg_files():
     assert hd.loss_reg is None and hd.nce_direction == ("row",)
 
 
+def test_emit_model_cfg_roundtrip(tmp_path):
+    """emit_model_cfg is the inverse of apply_model_cfg: emitted files
+    re-parse to the same model-structure fields, for every shipped shape
+    (MR focal, HD dynamic_bce row-only NCE, GFL qfl-no-cls)."""
+    from flashvtg_tpu.train.config import emit_model_cfg
+
+    cases = [
+        ExperimentConfig(),
+        ExperimentConfig(strides=(1,), buffer_size=2048,
+                         loss_cls="dynamic_bce", loss_reg=None,
+                         nce_direction=("row",)),
+        ExperimentConfig(loss_qfl=True, loss_cls=None, sample_radius=0.0),
+    ]
+    for i, cfg in enumerate(cases):
+        p = tmp_path / f"cfg{i}.py"
+        p.write_text(emit_model_cfg(cfg))
+        back = apply_model_cfg(ExperimentConfig(), load_model_cfg_file(str(p)))
+        for f in ("strides", "buffer_size", "max_num_moment", "loss_cls",
+                  "loss_reg", "loss_sal", "nce_direction", "loss_qfl",
+                  "sample_radius"):
+            assert getattr(back, f) == getattr(cfg, f), (i, f)
+
+
 def test_tvsum_missing_domain_clear_error(tmp_path):
     """tvsum/youtube datasets require --dset_domain; the error must name
     the flag and the valid domains (was a bare AssertionError)."""

@@ -28,6 +28,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from flashvtg_tpu.parallel.mesh import make_mesh

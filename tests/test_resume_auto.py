@@ -3,6 +3,7 @@ model_latest under results_root and continues from the next epoch
 (reference analogue: --resume_all, inference.py:472-475; auto-discovery is
 this framework's addition for unattended restarts)."""
 
+import pytest
 import os
 
 import numpy as np
@@ -12,6 +13,7 @@ from flashvtg_tpu.train.loop import load_checkpoint, train
 from flashvtg_tpu.utils.synthetic import make_synthetic_qvh
 
 
+@pytest.mark.slow
 def test_auto_resume_continues_epochs(tmp_path):
     ann, vdir, qdir = make_synthetic_qvh(
         str(tmp_path), n_queries=16, v_dim=16, t_dim=12, n_clips=16

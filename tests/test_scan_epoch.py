@@ -86,6 +86,7 @@ def test_scan_epoch_matches_per_step(synth):
         )
 
 
+@pytest.mark.slow
 def test_scan_epoch_data_parallel(synth):
     """The scan path composes with the data mesh: stacked (K, B, ...)
     chunks sharded on axis 1 over 8 devices reproduce the 1-device

@@ -24,6 +24,8 @@ accumulation would expose any epsilon/ordering mismatch.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax

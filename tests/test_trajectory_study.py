@@ -9,6 +9,8 @@ docs/TRAJECTORY.md / docs/trajectory_study.json."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 pytest.importorskip("torch")
 
 

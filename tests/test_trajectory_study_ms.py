@@ -10,6 +10,8 @@ docs/TRAJECTORY_MS.md / docs/trajectory_study_ms.json."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 pytest.importorskip("torch")
 
 
