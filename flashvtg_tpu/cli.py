@@ -168,6 +168,10 @@ def main(argv=None):
             load_checkpoint,
         )
 
+        if cfg.serving and "eval_precision" not in overrides:
+            # documented serving profile (docs/PRECISION.md "Recommended
+            # serving configuration"); explicit --eval_precision wins
+            cfg = cfg.replace(eval_precision="tensorfloat32")
         if cfg.resume is None:
             raise SystemExit("--resume <checkpoint> is required for inference")
         if not os.path.exists(cfg.resume):

@@ -173,6 +173,12 @@ class ExperimentConfig:
 
     # runtime
     eval_precision: str = "float32"  # MXU passes at eval (parity-exact)
+    # `cli infer --serving`: apply the measured serving profile from
+    # docs/PRECISION.md (tensorfloat32 eval — ~16% over f32 on the MXU,
+    # MR metric deltas <=0.05). f32 stays the default because parity
+    # evaluation against reference checkpoints assumes it; an explicit
+    # --eval_precision always wins over --serving.
+    serving: bool = False
     train_precision: str = "bfloat16"  # MXU passes in the train step
     # dtype for feature tensors on the host->device wire during training;
     # "bfloat16" halves transfer bytes (params/compute stay f32-promoted)

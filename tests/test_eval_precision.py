@@ -60,3 +60,57 @@ def test_precision_modes_agree(tmp_path):
     for key in ("MR-full-R1@0.5", "MR-full-R1@0.7", "MR-full-mAP"):
         vals = [briefs[p][key] for p in briefs]
         assert max(vals) - min(vals) <= 0.1, (key, briefs)
+
+
+def test_serving_flag_applies_tf32_profile(tmp_path, monkeypatch):
+    """`cli infer --serving` applies the documented serving profile
+    (docs/PRECISION.md): eval_precision=tensorfloat32 — unless an explicit
+    --eval_precision overrides it; without --serving the default stays
+    float32 (parity against reference checkpoints assumes it)."""
+    import orbax.checkpoint as ocp
+
+    import flashvtg_tpu.train.loop as loop_mod
+    from flashvtg_tpu.cli import main as cli_main
+
+    ann, vdir, qdir = make_synthetic_qvh(
+        str(tmp_path), n_queries=4, v_dim=32, t_dim=24, n_clips=16
+    )
+    flags = [
+        "--v_feat_dim", "32", "--t_feat_dim", "24", "--max_v_l", "16",
+        "--max_q_l", "12", "--hidden_dim", "32", "--dim_feedforward", "64",
+        "--t2v_layers", "1", "--enc_layers", "1", "--dummy_layers", "1",
+        "--num_dummies", "2", "--num_mlp_layers", "2",
+        "--num_conv_layers", "1", "--eval_bsz", "4",
+        "--v_feat_dirs", vdir, "--t_feat_dir", qdir, "--eval_path", ann,
+    ]
+    cfg = from_preset(
+        "qvhighlights_slowclip",
+        v_feat_dim=32, t_feat_dim=24, max_v_l=16, max_q_l=12,
+        hidden_dim=32, dim_feedforward=64, t2v_layers=1, enc_layers=1,
+        dummy_layers=1, num_dummies=2, num_mlp_layers=2, num_conv_layers=1,
+    )
+    model = cfg.build_model()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 12, 24)), jnp.ones((1, 12)),
+        jnp.zeros((1, 16, 34)), jnp.ones((1, 16)),
+        train=False,
+    )
+    ckpt_dir = str(tmp_path / "ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt_dir, {"params": params, "epoch": np.asarray(0)})
+    ckptr.wait_until_finished()
+
+    seen = []
+
+    def fake_evaluate(cfg, *a, **k):
+        seen.append(cfg.eval_precision)
+        return None, None, {}
+
+    monkeypatch.setattr(loop_mod, "evaluate", fake_evaluate)
+
+    base = ["infer", "qvhighlights_slowclip", *flags, "--resume", ckpt_dir]
+    assert cli_main(base + ["--serving"]) == 0
+    assert cli_main(base) == 0
+    assert cli_main(base + ["--serving", "--eval_precision", "bfloat16"]) == 0
+    assert seen == ["tensorfloat32", "float32", "bfloat16"]
