@@ -488,7 +488,9 @@ def export_state_dict(params, cfg) -> Dict[str, np.ndarray]:
     _inv_encoder(out, "transformer.encoder", p["encoder"], cfg.enc_layers)
     _inv_dense(out, "saliency_proj1", p["saliency_proj1"])
     _inv_dense(out, "saliency_proj2", p["saliency_proj2"])
-    _inv_pyramid(out, p["pyramid"], cfg.strides)
+    # HD-shaped models (strides=(1,)) have a parameterless pyramid (bare
+    # ReLU level) and no "pyramid" key in the flax tree at all
+    _inv_pyramid(out, p.get("pyramid", {}), cfg.strides)
     out["pooling.att.weight"] = _f32(p["pooling"]["att"]["kernel"]).T
     _inv_confidence_scorer(
         out, "class_head", p["class_head"], cfg.num_conv_layers,
@@ -521,7 +523,9 @@ def export_state_dict_ms(params, cfg) -> Dict[str, np.ndarray]:
         layer_fn=_inv_t2v_layer,
     )
     _inv_encoder(out, "transformer.encoder", p["encoder"], cfg.enc_layers)
-    _inv_pyramid(out, p["pyramid"], cfg.strides)
+    # HD-shaped models (strides=(1,)) have a parameterless pyramid (bare
+    # ReLU level) and no "pyramid" key in the flax tree at all
+    _inv_pyramid(out, p.get("pyramid", {}), cfg.strides)
     # AdaPooling is constructed by the _ms reference but dead on its forward
     # path (the query comes from src_glob instead); synthesize its Linear
     out["pooling.att.weight"] = np.zeros((1, cfg.hidden_dim), np.float32)

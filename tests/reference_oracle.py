@@ -219,8 +219,28 @@ class L1Loss(torch.nn.Module):
         return self.w * loss.sum() / avg_factor
 
 
+class DynamicBCELoss(torch.nn.Module):
+    # RECONSTRUCTION (PARITY.md section 8): nncore source unavailable; BCE
+    # against per-sample max-normalized soft targets, matching the pinned
+    # contract in tests/test_dynamic_bce.py. In the inference oracle this
+    # only feeds eval loss meters, never the saliency outputs under test.
+    def __init__(self, loss_weight=1.0):
+        super().__init__()
+        self.w = loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        soft = (target / target.max(dim=-1, keepdim=True).values.clamp(min=1e-6)).clamp(0.0, 1.0)
+        loss = F.binary_cross_entropy_with_logits(pred, soft, reduction="none")
+        if weight is not None:
+            loss = loss * weight
+        if avg_factor is None:
+            return self.w * loss.mean()
+        return self.w * loss.sum() / avg_factor
+
+
 LOSSES.map["FocalLoss"] = FocalLoss
 LOSSES.map["L1Loss"] = L1Loss
+LOSSES.map["DynamicBCELoss"] = DynamicBCELoss
 ''')
     with open(os.path.join(nc, "ops.py"), "w") as f:
         f.write('''\
@@ -281,6 +301,16 @@ def swap_element(x, i, j):
         f.write("pretrained_aliases = {}\n")
     with open(os.path.join(tt, "__init__.py"), "w") as f:
         f.write("from . import vocab\n")
+
+    nt = os.path.join(shim_dir, "natten")
+    os.makedirs(nt, exist_ok=True)
+    with open(os.path.join(nt, "functional.py"), "w") as f:
+        f.write(
+            "def natten2dqkrpb(*a, **k):\n    return None\n\n\n"
+            "def natten2dav(*a, **k):\n    return None\n"
+        )
+    with open(os.path.join(nt, "__init__.py"), "w") as f:
+        f.write("from . import functional\n")
 
     wb = os.path.join(shim_dir, "wandb")
     os.makedirs(wb, exist_ok=True)

@@ -184,3 +184,32 @@ def test_export_ms_strict_load_and_forward(tmp_path):
             np.asarray(la), np.asarray(lb),
             err_msg=jax.tree_util.keystr(pa),
         )
+
+
+def test_export_hd_shape_no_pyramid_params():
+    """HD-shaped models (strides=(1,)) have a parameterless pyramid — no
+    'pyramid' key in the flax tree at all; export must not KeyError
+    (regression: both export_state_dict variants indexed p['pyramid'])."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashvtg_tpu.train.config import ExperimentConfig
+    from flashvtg_tpu.utils.torch_convert import export_state_dict
+
+    cfg = ExperimentConfig(
+        v_feat_dim=16, t_feat_dim=12, hidden_dim=16, dim_feedforward=32,
+        nheads=2, num_dummies=2, t2v_layers=1, enc_layers=1, dummy_layers=1,
+        num_mlp_layers=2, num_conv_layers=1, max_v_l=8, max_q_l=6,
+        strides=(1,), buffer_size=2048, loss_cls="dynamic_bce",
+        loss_reg=None, nce_direction=("row",),
+    )
+    model = cfg.build_model()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 6, 12)), jnp.ones((1, 6)),
+        jnp.zeros((1, 8, 18)), jnp.ones((1, 8)),
+        train=False,
+    )
+    sd = export_state_dict(params["params"], cfg.model_config())
+    assert not any(k.startswith("pyramid") for k in sd)
+    assert any(k.startswith("class_head") for k in sd)

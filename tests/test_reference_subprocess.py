@@ -180,3 +180,114 @@ def test_reference_inference_byte_parity(exported_run):
         assert flips <= max(2, total // 50), (
             f"too many saliency rounding flips{suffix}: {flips}/{total}"
         )
+
+
+@pytest.fixture(scope="module")
+def exported_ms_run(tmp_path_factory):
+    """Synthetic TVSum (domain BK) -> cli train tvsum_ms (1 epoch) ->
+    cli export (+ sidecars) for the FlashVTG_ms subprocess oracle."""
+    from flashvtg_tpu.cli import main as cli_main
+
+    root = tmp_path_factory.mktemp("refsub_ms")
+    rng = np.random.default_rng(11)
+    vids_train = ["WxtbjNsCQ8A", "EE-bNr36nyA", "oDXZc0tZe04", "uGu_10sucQo"]
+    vids_val = ["Se3oxnaPsz0"]
+    (root / "vid").mkdir()
+    (root / "txt").mkdir()
+    rows_tr, rows_val = [], []
+    for v in vids_train + vids_val:
+        n_clips = int(rng.integers(30, 60))
+        row = {
+            "qid": v, "query": "news title", "duration": n_clips * 2.0,
+            "vid": v, "relevant_clip_ids": None, "relevant_windows": None,
+            "label": rng.integers(1, 6, (n_clips, 20)).tolist(),
+            "domain": "BK",
+        }
+        (rows_tr if v in vids_train else rows_val).append(row)
+        np.save(root / "vid" / f"{v}_rgb.npy",
+                rng.standard_normal((n_clips, 16), dtype=np.float32))
+        np.save(root / "vid" / f"{v}_opt.npy",
+                rng.standard_normal((n_clips, 16), dtype=np.float32))
+        np.savez(root / "txt" / f"{v}.npz",
+                 last_hidden_state=rng.standard_normal((7, 24),
+                                                       dtype=np.float32))
+    save_jsonl(rows_tr, root / "train.jsonl")
+    save_jsonl(rows_val, root / "val.jsonl")
+
+    flags = [
+        # hidden_dim stays at the preset's 256: the reference _ms model
+        # HARDCODES its class head at 256 channels (FlashVTG_ms/
+        # model.py:133 ConfidenceScorer(in_channels=256, ...)) and cannot
+        # run at any other width; our rebuild parameterizes it by
+        # hidden_dim, identical at the reference's only operating point
+        "--v_feat_dim", "32", "--t_feat_dim", "24", "--max_v_l", "64",
+        "--dim_feedforward", "64",
+        "--num_dummies", "2", "--t2v_layers", "1", "--enc_layers", "1",
+        "--dummy_layers", "1", "--num_mlp_layers", "2",
+        "--num_conv_layers", "1", "--dset_domain", "BK",
+        "--v_feat_dirs", str(root / "vid"), "--t_feat_dir", str(root / "txt"),
+        "--eval_path", str(root / "val.jsonl"),
+    ]
+    rc = cli_main(
+        ["train", "tvsum_ms", *flags, "--train_path", str(root / "train.jsonl"),
+         "--n_epoch", "1", "--bsz", "4", "--eval_bsz", "4", "--eval_epoch", "1",
+         "--results_root", str(root / "results"), "--exp_id", "refsubms",
+         "--train_precision", "float32", "--eval_precision", "float32"]
+    )
+    assert rc == 0
+    run_dir = next((root / "results").glob("tvsum-*refsubms*"))
+
+    export_dir = root / "export"
+    export_dir.mkdir()
+    ckpt = export_dir / "model.ckpt"
+    rc = cli_main(
+        ["export", "tvsum_ms", *flags,
+         "--resume", str(run_dir / "model_best"),
+         "--export_path", str(ckpt)]
+    )
+    assert rc == 0
+    assert (export_dir / "opt.json").exists()
+    return root, ckpt, flags
+
+
+def test_reference_ms_inference_parity(exported_ms_run):
+    """FlashVTG_ms/inference.py run literally (same 8-argv shape) on an
+    exported `_ms` checkpoint: its latest_metric.jsonl (top-5 HL mAP over
+    the predicted saliency, the tvsum protocol) must byte-match our
+    `cli infer` output on the same inputs."""
+    root, ckpt, flags = exported_ms_run
+    export_dir = os.path.dirname(str(ckpt))
+
+    shims = write_subprocess_shims(str(root / "shims"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([shims, REF_ROOT])
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "FlashVTG_ms/inference.py",
+         os.path.join(export_dir, "model_cfg.py"),
+         "--resume", str(ckpt),
+         "--eval_split_name", "val",
+         "--eval_path", str(root / "val.jsonl")],
+        cwd=REF_ROOT, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"FlashVTG_ms/inference.py failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+    ref_metric = os.path.join(export_dir, "latest_metric.jsonl")
+    assert os.path.exists(ref_metric), proc.stderr[-2000:]
+
+    from flashvtg_tpu.cli import main as cli_main
+
+    rc = cli_main(
+        ["infer", "tvsum_ms", *flags, "--resume", str(ckpt),
+         "--eval_precision", "float32"]
+    )
+    assert rc == 0
+    our_metric = os.path.join(export_dir, "infer_metric.jsonl")
+    assert os.path.exists(our_metric)
+    with open(ref_metric, "rb") as f:
+        ref_bytes = f.read()
+    with open(our_metric, "rb") as f:
+        our_bytes = f.read()
+    assert ref_bytes == our_bytes, f"{ref_bytes!r} != {our_bytes!r}"
