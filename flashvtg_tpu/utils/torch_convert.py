@@ -207,14 +207,51 @@ def convert_checkpoint(sd, cfg) -> Dict:
     return {"params": params}
 
 
+def _lenient_torch_load(path):
+    """torch.load that tolerates unimportable classes in checkpoint extras.
+
+    The reference trainer pickles its ENTIRE opt Namespace into every
+    checkpoint (train.py:225-233 saves {"model", "optimizer",
+    "lr_scheduler", "epoch", "opt"}), and opt.cfg is an nncore Config —
+    so loading a reference-trained .ckpt without nncore installed raises
+    ModuleNotFoundError from the unpickler even though only the 'model'
+    tensors matter. Fall back to an unpickler that substitutes a dummy
+    dict subclass for any class it cannot import."""
+    import pickle
+    import types
+
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=False)
+    except (ModuleNotFoundError, AttributeError):
+        pass
+
+    class _LenientUnpickler(pickle.Unpickler):
+        def find_class(self, mod_name, name):
+            try:
+                return super().find_class(mod_name, name)
+            except (ModuleNotFoundError, AttributeError):
+                # dict base: survives BUILD/SETITEMS for dict-like classes
+                return type(name, (dict,), {"__setstate__": lambda s, st: None})
+
+    shim = types.ModuleType("flashvtg_tpu_lenient_pickle")
+    shim.Unpickler = _LenientUnpickler
+    shim.load = pickle.load
+    shim.dump = pickle.dump
+    shim.dumps = pickle.dumps
+    shim.HIGHEST_PROTOCOL = pickle.HIGHEST_PROTOCOL
+    return torch.load(
+        path, map_location="cpu", weights_only=False, pickle_module=shim
+    )
+
+
 def load_torch_checkpoint(path, cfg):
     """Load a reference .ckpt file (torch.save dict with 'model') on CPU.
 
     Detects the FlashVTG_ms variant by its phrase-pipeline keys.
     """
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _lenient_torch_load(path)
     sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
     sd = {k.removeprefix("module."): v.detach().numpy() for k, v in sd.items()}
     if any(k.startswith("phrase_generate.") for k in sd):

@@ -51,3 +51,35 @@ def test_load_torch_checkpoint_roundtrip(tmp_path):
         out_ref["saliency_scores"].numpy()[0],
         atol=3e-4,
     )
+
+
+def test_lenient_load_tolerates_unimportable_extras(tmp_path):
+    """Reference-trained .ckpts pickle the full opt Namespace incl. nncore
+    Config objects (train.py:225-233); loading must not require nncore —
+    the lenient fallback substitutes dummies for unimportable classes."""
+    import sys
+    import types
+
+    import torch
+
+    from flashvtg_tpu.utils.torch_convert import _lenient_torch_load
+
+    mod = types.ModuleType("nncore_fake_gone")
+    class Cfg(dict):
+        pass
+    Cfg.__module__ = "nncore_fake_gone"
+    Cfg.__qualname__ = "Cfg"
+    mod.Cfg = Cfg
+    sys.modules["nncore_fake_gone"] = mod
+    try:
+        path = tmp_path / "ref.ckpt"
+        torch.save(
+            {"model": {"w": torch.arange(3.0)}, "opt": Cfg(a=1), "epoch": 4},
+            path,
+        )
+    finally:
+        del sys.modules["nncore_fake_gone"]
+
+    ckpt = _lenient_torch_load(str(path))
+    assert torch.equal(ckpt["model"]["w"], torch.arange(3.0))
+    assert ckpt["epoch"] == 4

@@ -291,3 +291,66 @@ def test_reference_ms_inference_parity(exported_ms_run):
     with open(our_metric, "rb") as f:
         our_bytes = f.read()
     assert ref_bytes == our_bytes, f"{ref_bytes!r} != {our_bytes!r}"
+
+
+def test_reference_train_debug_and_import(exported_run, tmp_path):
+    """The reference's OWN trainer runs literally: `python FlashVTG/train.py
+    <cfg> --debug ...` (BaseOptions training parse -> StartEndDataset ->
+    setup_model -> one debug epoch of real fwd/bwd/optimizer steps ->
+    torch.save). Then the checkpoint the reference trainer produced (with
+    its pickled opt Namespace and optimizer state) must load and evaluate
+    in OUR framework via `cli infer --resume model_latest.ckpt` — the
+    import direction against a literally-reference-produced artifact."""
+    root, ann, ckpt, data_flags = exported_run
+
+    shims = write_subprocess_shims(str(root / "shims"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([shims, REF_ROOT])
+    env.pop("JAX_PLATFORMS", None)
+    results_root = tmp_path / "ref_train"
+    results_root.mkdir()
+    proc = subprocess.run(
+        [sys.executable, "FlashVTG/train.py",
+         os.path.join(os.path.dirname(str(ckpt)), "model_cfg.py"),
+         "--debug",
+         "--exp_id", "debugsmoke",
+         "--dset_name", "hl",
+         "--train_path", str(ann),
+         "--eval_path", str(ann),
+         *data_flags[:4],  # --v_feat_dirs <dir> --t_feat_dir <dir>
+         "--v_feat_dim", str(V_DIM), "--t_feat_dim", str(T_DIM),
+         "--num_dummies", "4", "--t2v_layers", "2", "--enc_layers", "2",
+         "--dummy_layers", "1", "--num_mlp_layers", "3",
+         # the reference parser defaults max_q_l/max_v_l to -1; its shipped
+         # scripts always pass them (train_qv_slowclip.sh:33-34)
+         "--max_q_l", "32", "--max_v_l", "75",
+         "--bsz", "8", "--eval_bsz", "1", "--n_epoch", "1",
+         "--device", "-1",  # training parse never reloads an opt.json
+         "--results_root", str(results_root)],
+        cwd=REF_ROOT, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"reference train.py --debug failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+    run_dirs = list(results_root.glob("hl-video_tef-debugsmoke-*"))
+    assert len(run_dirs) == 1, proc.stderr[-1000:]
+    ref_ckpt = run_dirs[0] / "model_latest.ckpt"
+    assert ref_ckpt.exists(), sorted(os.listdir(run_dirs[0]))
+    assert (run_dirs[0] / "opt.json").exists()
+
+    # import direction: the reference-trained .ckpt evaluates in OUR stack
+    from flashvtg_tpu.cli import main as cli_main
+
+    rc = cli_main(
+        ["infer", "qvhighlights_slowclip", *MODEL_FLAGS, *data_flags,
+         "--resume", str(ref_ckpt), "--eval_precision", "float32",
+         "--eval_results_dir", str(tmp_path / "ours")]
+    )
+    assert rc == 0
+    ours = tmp_path / "ours" / "infer_hl_val_preds_metrics.json"
+    assert ours.exists()
+    import json
+
+    brief = json.load(open(ours))["brief"]
+    assert "MR-full-mAP" in brief and np.isfinite(brief["MR-full-mAP"])
