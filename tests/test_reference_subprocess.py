@@ -354,3 +354,99 @@ def test_reference_train_debug_and_import(exported_run, tmp_path):
 
     brief = json.load(open(ours))["brief"]
     assert "MR-full-mAP" in brief and np.isfinite(brief["MR-full-mAP"])
+
+
+CHARADES_GT = os.path.join(REF_ROOT,
+                           "data/charades_sta/charades_sta_test_tvr_format.jsonl")
+
+
+def test_reference_charades_branch_parity(tmp_path):
+    """The charadesSTA branch of the reference inference (its own
+    PostProcessorDETR params, inference.py:323-341, and the saliency-less
+    submission, inference.py:413-418) through the literal entry point:
+    submission jsonl and metrics JSON vs `cli infer` on the same inputs."""
+    from flashvtg_tpu.cli import main as cli_main
+
+    root = tmp_path
+    rows = load_jsonl(CHARADES_GT)[:12]
+    ann = root / "test.jsonl"
+    save_jsonl(rows, ann)
+    vdir, qdir = root / "vid", root / "txt"
+    vdir.mkdir()
+    qdir.mkdir()
+    rng = np.random.default_rng(3)
+    for r in rows:
+        vp = vdir / f"{r['vid']}.npz"
+        if not vp.exists():
+            lv = max(4, int(r["duration"]))  # clip_length 1.0
+            np.savez(vp, features=rng.standard_normal((lv, V_DIM),
+                                                      dtype=np.float32))
+        np.savez(qdir / f"qid{r['qid']}.npz",
+                 last_hidden_state=rng.standard_normal(
+                     (int(rng.integers(4, 12)), T_DIM), dtype=np.float32))
+
+    flags = [
+        *MODEL_FLAGS,
+        "--v_feat_dirs", str(vdir), "--t_feat_dir", str(qdir),
+        "--eval_path", str(ann), "--max_v_l", "64",
+    ]
+    rc = cli_main(
+        ["train", "charades", *flags, "--train_path", str(ann),
+         "--n_epoch", "1", "--bsz", "4", "--eval_bsz", "4",
+         "--eval_epoch", "1", "--num_dummies", "4",
+         "--results_root", str(root / "results"), "--exp_id", "refsubch",
+         "--train_precision", "float32", "--eval_precision", "float32"]
+    )
+    assert rc == 0
+    run_dir = next((root / "results").glob("charadesSTA-*refsubch*"))
+    export_dir = root / "export"
+    export_dir.mkdir()
+    ckpt = export_dir / "model.ckpt"
+    rc = cli_main(
+        ["export", "charades", *flags,
+         "--resume", str(run_dir / "model_best"),
+         "--export_path", str(ckpt)]
+    )
+    assert rc == 0
+
+    shims = write_subprocess_shims(str(root / "shims"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([shims, REF_ROOT])
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "FlashVTG/inference.py",
+         os.path.join(str(export_dir), "model_cfg.py"),
+         "--resume", str(ckpt),
+         "--eval_split_name", "val",
+         "--eval_path", str(ann)],
+        cwd=REF_ROOT, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"charades inference.py failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+    ref_sub = export_dir / "hl_val_submission.jsonl"
+    assert ref_sub.exists()
+
+    rc = cli_main(
+        ["infer", "charades", *flags, "--resume", str(ckpt),
+         "--eval_precision", "float32"]
+    )
+    assert rc == 0
+    our_sub = export_dir / "infer_charadesSTA_val_preds.jsonl"
+    assert our_sub.exists()
+
+    ref_rows = load_jsonl(str(ref_sub))
+    our_rows = load_jsonl(str(our_sub))
+    assert len(ref_rows) == len(our_rows) == 12
+    for r, o in zip(ref_rows, our_rows):
+        assert "pred_saliency_scores" not in r
+        assert "pred_saliency_scores" not in o
+        assert r == o, f"row mismatch for qid {r['qid']}"
+
+    for suffix in ("_metrics.json", "_nms_thd_0.7_metrics.json"):
+        with open(str(ref_sub).replace(".jsonl", suffix), "rb") as f:
+            ref_bytes = f.read()
+        with open(str(our_sub).replace(".jsonl", suffix), "rb") as f:
+            our_bytes = f.read()
+        assert ref_bytes == our_bytes, f"metrics byte diff in {suffix}"
