@@ -7,8 +7,16 @@ text) on synthetic features, then run the full eval at each
 `eval_precision` and diff the brief metrics. Results -> docs/PRECISION.md.
 
 Run ON the TPU (no JAX_PLATFORMS override): python scripts/eval_precision_study.py
+
+`--epochs 60` (the docs/PRECISION.md tunnel-gated follow-up) answers the
+bf16 HL rank-stability question on a CONVERGED model: alongside the metric
+deltas it prints the median |top1 - top2| saliency margin per query — if
+margins sit well above bf16's ~2^-8 relative resolution, the round-3
+"Hit1 moved +7.8 under bf16" artifact was the briefly-trained worst case
+it was claimed to be.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -19,15 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N_TRAIN = 192
-EPOCHS = 12
-
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--n_train", type=int, default=192)
+    args = ap.parse_args()
+    N_TRAIN, EPOCHS = args.n_train, args.epochs
     from flashvtg_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
@@ -57,6 +67,7 @@ def main():
 
     dataset = VTGDataset(_dataset_cfg(cfg, cfg.eval_path, load_labels=False))
     briefs = {}
+    margins = None
     for prec in ("float32", "tensorfloat32", "bfloat16"):
         pcfg = cfg.replace(eval_precision=prec)
         t0 = time.time()
@@ -67,6 +78,16 @@ def main():
             eval_submission(submission, dataset.data, verbose=False)["brief"]
         )
         log(f"{prec}: eval {dt:.2f}s")
+        if prec == "float32":
+            # HL rank-stability diagnostic: the gap the ranking has to
+            # survive reduced precision. Hit1 flips when |top1 - top2|
+            # saliency falls inside the precision's resolution.
+            m = []
+            for row in submission:
+                s = np.sort(np.asarray(row["pred_saliency_scores"]))[::-1]
+                if len(s) >= 2:
+                    m.append(float(s[0] - s[1]))
+            margins = np.asarray(m)
 
     keys = ["MR-full-R1@0.5", "MR-full-R1@0.7", "MR-full-mAP",
             "MR-full-mIoU", "HL-min-VeryGood-mAP", "HL-min-VeryGood-Hit1"]
@@ -77,9 +98,17 @@ def main():
                    ("float32", "tensorfloat32", "bfloat16"))
         print(f"{k:<22} {f:>8.2f} {t:>8.2f} {b:>8.2f} "
               f"{t - f:>+8.2f} {b - f:>+8.2f}")
+    if margins is not None and len(margins):
+        # bf16 has ~3 decimal digits (8 significand bits): a ranking is
+        # precision-safe when the margin dwarfs |score| * 2^-8
+        q = np.percentile(margins, [5, 25, 50])
+        print(f"saliency top1-top2 margin: p5={q[0]:.4f} p25={q[1]:.4f} "
+              f"median={q[2]:.4f} (bf16 resolution ~ |score| * 2^-8)")
+        briefs["saliency_margin_p5_p25_p50"] = [float(x) for x in q]
     with open(os.path.join(root, "precision_briefs.json"), "w") as fp:
         json.dump(briefs, fp, indent=1)
     log(f"briefs saved to {root}/precision_briefs.json")
+    log(f"epochs={EPOCHS} n_train={N_TRAIN}")
 
 
 if __name__ == "__main__":

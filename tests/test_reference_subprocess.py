@@ -356,6 +356,113 @@ def test_reference_train_debug_and_import(exported_run, tmp_path):
     assert "MR-full-mAP" in brief and np.isfinite(brief["MR-full-mAP"])
 
 
+def test_reference_youtube_hl_branch_parity(tmp_path):
+    """The youtube_uni HL branch of the BASE variant through the literal
+    entry point. Covers two seams no other oracle crosses: the base
+    FlashVTG/inference.py has only ever been literally run on MR datasets
+    (its compute_hl_results, inference.py:126-229, was exercised via the
+    _ms twin on tvsum), and youtube_uni's distinct AP protocol (binary
+    labels squeezed over ALL ranked clips, no top-5 cut and no 20-annotator
+    loop, inference.py:189-214) has never been literally run at all. The
+    subprocess's latest_metric.jsonl must byte-match `cli infer`'s."""
+    from flashvtg_tpu.cli import main as cli_main
+
+    root = tmp_path
+    rng = np.random.default_rng(23)
+    vids_train = ["yt_a", "yt_b", "yt_c", "yt_d"]
+    vids_val = ["yt_e", "yt_f"]
+    (root / "vid").mkdir()
+    (root / "txt").mkdir()
+    rows_tr, rows_val = [], []
+    for v in vids_train + vids_val:
+        n_clips = int(rng.integers(24, 48))
+        # youtube-hl labels are binary, one annotator: (L, 1) lists
+        # (reference get_saliency_labels_all_youtube takes labels[:, 0])
+        lab = (rng.random(n_clips) < 0.25).astype(int)
+        lab[int(rng.integers(n_clips))] = 1  # at least one positive
+        row = {
+            "qid": v, "query": "dog clip", "duration": n_clips * 1.0,
+            "vid": v, "relevant_clip_ids": None, "relevant_windows": None,
+            "label": lab.reshape(-1, 1).tolist(),
+            "domain": "dog",
+        }
+        (rows_tr if v in vids_train else rows_val).append(row)
+        # youtube video features: single {vid}.npz per dir (reference
+        # _get_video_feat_by_vid youtube branch), queries {qid}.npz
+        np.savez(root / "vid" / f"{v}.npz",
+                 features=rng.standard_normal((n_clips, 32),
+                                              dtype=np.float32))
+        np.savez(root / "txt" / f"{v}.npz",
+                 last_hidden_state=rng.standard_normal((6, 24),
+                                                       dtype=np.float32))
+    save_jsonl(rows_tr, root / "train.jsonl")
+    save_jsonl(rows_val, root / "val.jsonl")
+
+    flags = [
+        # hidden_dim stays at the preset's 256 (reference hardcode, see
+        # exported_ms_run note)
+        "--v_feat_dim", "32", "--t_feat_dim", "24", "--max_v_l", "64",
+        "--dim_feedforward", "64",
+        "--num_dummies", "2", "--t2v_layers", "1", "--enc_layers", "1",
+        "--dummy_layers", "1", "--num_mlp_layers", "2",
+        "--num_conv_layers", "1", "--dset_domain", "dog",
+        "--v_feat_dirs", str(root / "vid"), "--t_feat_dir", str(root / "txt"),
+        "--eval_path", str(root / "val.jsonl"),
+    ]
+    rc = cli_main(
+        ["train", "youtube_uni", *flags,
+         "--train_path", str(root / "train.jsonl"),
+         "--n_epoch", "1", "--bsz", "4", "--eval_bsz", "4",
+         "--eval_epoch", "1",
+         "--results_root", str(root / "results"), "--exp_id", "refsubyt",
+         "--train_precision", "float32", "--eval_precision", "float32"]
+    )
+    assert rc == 0
+    run_dir = next((root / "results").glob("youtube_uni-*refsubyt*"))
+
+    export_dir = root / "export"
+    export_dir.mkdir()
+    ckpt = export_dir / "model.ckpt"
+    rc = cli_main(
+        ["export", "youtube_uni", *flags,
+         "--resume", str(run_dir / "model_best"),
+         "--export_path", str(ckpt)]
+    )
+    assert rc == 0
+
+    shims = write_subprocess_shims(str(root / "shims"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([shims, REF_ROOT])
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "FlashVTG/inference.py",
+         os.path.join(str(export_dir), "model_cfg.py"),
+         "--resume", str(ckpt),
+         "--eval_split_name", "val",
+         "--eval_path", str(root / "val.jsonl")],
+        cwd=REF_ROOT, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"youtube FlashVTG/inference.py failed\nstdout:\n"
+        f"{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    ref_metric = os.path.join(str(export_dir), "latest_metric.jsonl")
+    assert os.path.exists(ref_metric), proc.stderr[-2000:]
+
+    rc = cli_main(
+        ["infer", "youtube_uni", *flags, "--resume", str(ckpt),
+         "--eval_precision", "float32"]
+    )
+    assert rc == 0
+    our_metric = os.path.join(str(export_dir), "infer_metric.jsonl")
+    assert os.path.exists(our_metric)
+    with open(ref_metric, "rb") as f:
+        ref_bytes = f.read()
+    with open(our_metric, "rb") as f:
+        our_bytes = f.read()
+    assert ref_bytes == our_bytes, f"{ref_bytes!r} != {our_bytes!r}"
+
+
 CHARADES_GT = os.path.join(REF_ROOT,
                            "data/charades_sta/charades_sta_test_tvr_format.jsonl")
 
