@@ -463,6 +463,109 @@ def test_reference_youtube_hl_branch_parity(tmp_path):
     assert ref_bytes == our_bytes, f"{ref_bytes!r} != {our_bytes!r}"
 
 
+TACOS_GT = os.path.join(REF_ROOT, "data/tacos/val.jsonl")
+
+
+def test_reference_tacos_branch_parity(tmp_path):
+    """The tacos branch through the literal entry point — the last dataset
+    family not yet literally run. Pins two quirks: the fallback
+    PostProcessorDETR params (max_ts 50000, round_multiple only,
+    inference.py:344-352) and the SHUFFLED eval loader the reference uses
+    only for tacos (inference.py:382-385), which is unseeded — so the run
+    is executed at eval_bsz=1 (the export sidecar's opt.json value), where
+    shuffling can only permute row order, and rows are compared keyed by
+    qid. Metrics JSONs must still byte-match: the reference's
+    eval_submission groups by qid, so they are order-invariant."""
+    from flashvtg_tpu.cli import main as cli_main
+
+    root = tmp_path
+    rows = load_jsonl(TACOS_GT)[:10]
+    ann = root / "val.jsonl"
+    save_jsonl(rows, ann)
+    vdir, qdir = root / "vid", root / "txt"
+    vdir.mkdir()
+    qdir.mkdir()
+    rng = np.random.default_rng(5)
+    for r in rows:
+        vp = vdir / f"{r['vid']}.npz"
+        if not vp.exists():
+            np.savez(vp, features=rng.standard_normal((64, V_DIM),
+                                                      dtype=np.float32))
+        np.savez(qdir / f"{r['qid']}.npz",
+                 last_hidden_state=rng.standard_normal(
+                     (int(rng.integers(4, 12)), T_DIM), dtype=np.float32))
+
+    flags = [
+        *MODEL_FLAGS,
+        "--v_feat_dirs", str(vdir), "--t_feat_dir", str(qdir),
+        "--eval_path", str(ann), "--max_v_l", "64",
+    ]
+    rc = cli_main(
+        ["train", "tacos", *flags, "--train_path", str(ann),
+         "--n_epoch", "1", "--bsz", "4", "--eval_bsz", "1",
+         "--eval_epoch", "1",
+         "--results_root", str(root / "results"), "--exp_id", "refsubta",
+         "--train_precision", "float32", "--eval_precision", "float32"]
+    )
+    assert rc == 0
+    run_dir = next((root / "results").glob("tacos-*refsubta*"))
+    export_dir = root / "export"
+    export_dir.mkdir()
+    ckpt = export_dir / "model.ckpt"
+    rc = cli_main(
+        # model_latest, not model_best: a 1-epoch model on random features
+        # can legitimately score 0.0, and model_best requires score > 0
+        ["export", "tacos", *flags,
+         "--resume", str(run_dir / "model_latest"),
+         "--export_path", str(ckpt)]
+    )
+    assert rc == 0
+
+    shims = write_subprocess_shims(str(root / "shims"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([shims, REF_ROOT])
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "FlashVTG/inference.py",
+         os.path.join(str(export_dir), "model_cfg.py"),
+         "--resume", str(ckpt),
+         "--eval_split_name", "val",
+         "--eval_path", str(ann)],
+        cwd=REF_ROOT, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"tacos inference.py failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+    ref_sub = export_dir / "hl_val_submission.jsonl"
+    assert ref_sub.exists()
+
+    rc = cli_main(
+        ["infer", "tacos", *flags, "--resume", str(ckpt),
+         "--eval_bsz", "1", "--eval_precision", "float32"]
+    )
+    assert rc == 0
+    our_sub = export_dir / "infer_tacos_val_preds.jsonl"
+    assert our_sub.exists()
+
+    ref_rows = load_jsonl(str(ref_sub))
+    our_rows = load_jsonl(str(our_sub))
+    assert len(ref_rows) == len(our_rows) == 10
+    ref_by_qid = {r["qid"]: r for r in ref_rows}
+    for o in our_rows:
+        r = ref_by_qid[o["qid"]]
+        assert "pred_saliency_scores" not in r  # popped for tacos
+        assert "pred_saliency_scores" not in o
+        assert r == o, f"row mismatch for qid {o['qid']}"
+
+    for suffix in ("_metrics.json", "_nms_thd_0.7_metrics.json"):
+        with open(str(ref_sub).replace(".jsonl", suffix), "rb") as f:
+            ref_bytes = f.read()
+        with open(str(our_sub).replace(".jsonl", suffix), "rb") as f:
+            our_bytes = f.read()
+        assert ref_bytes == our_bytes, f"metrics byte diff in {suffix}"
+
+
 CHARADES_GT = os.path.join(REF_ROOT,
                            "data/charades_sta/charades_sta_test_tvr_format.jsonl")
 
