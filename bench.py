@@ -22,14 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-N_QUERIES = 4096
+# BENCH_QUERIES / BENCH_BATCH env overrides exist for sweeps only; the
+# driver-recorded headline always runs the defaults.
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 4096))
 # Large dispatches + software pipelining: per-call dispatch latency through
 # the axon tunnel dominates at small batches (measured: 8x32 -> ~1.1k q/s,
 # 1x256 -> ~5.6k q/s for identical math), and a serving deployment batches
 # aggressively anyway. All batches are dispatched before the first result is
 # fetched, so the tunnel round-trip of batch i overlaps the device compute
 # of batches i+1.. — the steady-state rate approaches the device-only rate.
-BATCH = 512
+BATCH = int(os.environ.get("BENCH_BATCH", 512))
 LV, LQ = 75, 32
 V_DIM, T_DIM = 2816, 512
 BASELINE_QUERIES = 32  # reference bsz=1 CPU loop is slow; subsample and scale
@@ -343,6 +345,13 @@ def main():
         sys.exit(1)
     tpu_qps, util = bench_tpu()
     cpu_qps = bench_reference_cpu()
+    record = {}
+    if "BENCH_QUERIES" in os.environ or "BENCH_BATCH" in os.environ:
+        # a sweep run must be distinguishable from the default-config
+        # driver record: flag the non-default configuration in the JSON
+        record["nonstandard_config"] = {
+            "n_queries": N_QUERIES, "batch": BATCH,
+        }
     print(
         json.dumps(
             {
@@ -350,6 +359,7 @@ def main():
                 "value": round(tpu_qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(tpu_qps / cpu_qps, 2),
+                **record,
                 # model-FLOPs utilization (utils/flops.py): achieved TFLOP/s
                 # from the analytic forward FLOP count; `mfu` vs the v5e
                 # bf16 MXU peak (197 TF/s), `mfu_effective` vs the

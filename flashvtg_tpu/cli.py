@@ -126,6 +126,11 @@ def main(argv=None):
                 rest = rest[:i] + rest[i + 1 :]
                 break
     cfg, overrides = parse_config(rest)
+    if mode != "infer" and ("serving" in overrides or cfg.serving):
+        logging.getLogger(__name__).warning(
+            "--serving only affects `infer` (docs/PRECISION.md); it is "
+            "ignored for %s and is never persisted to opt.json", mode,
+        )
 
     if mode in ("infer", "export") and cfg.resume:
         # TestOptions semantics (config.py:189-203): the opt.json saved next
@@ -142,6 +147,12 @@ def main(argv=None):
                 for k in (
                     "results_root", "nms_thd", "debug", "max_pred_l",
                     "min_pred_l", "resume", "resume_all", "no_sort_results",
+                    # conscious deviation from the reference keep-list
+                    # (PARITY.md): the sidecar opt.json records eval_bsz=1
+                    # (the only value the reference model can run); OUR
+                    # eval is eval-bsz-invariant (test_bucketing), so the
+                    # invocation's batched value stays in force here
+                    "eval_bsz",
                 )
                 if hasattr(cfg, k)
             }
@@ -249,6 +260,39 @@ def main(argv=None):
             cfg.ms_model_config() if cfg.variant == "ms"
             else cfg.model_config()
         )
+        # Sidecars so reference-repo users can run their own
+        # FlashVTG/inference.py on the export: TestOptions reloads opt.json
+        # from dirname(--resume) (config.py:189-203) and builds the model
+        # from the opt.json-pinned config file (inference.py:495). Never
+        # clobber a training run's opt.json (it may carry feature dirs this
+        # export invocation was not given) — and refuse a mismatched target
+        # dir BEFORE writing anything, so a failed export leaves no partial
+        # artifacts.
+        export_dir = os.path.dirname(os.path.abspath(export_path))
+        opt_sidecar = os.path.join(export_dir, "opt.json")
+        existing_opt = None
+        if os.path.exists(opt_sidecar):
+            import json as _json
+
+            with open(opt_sidecar) as f:
+                existing_opt = _json.load(f)
+            mismatched = [
+                k for k in (
+                    "variant", "hidden_dim", "enc_layers", "t2v_layers",
+                    "dummy_layers", "num_dummies", "dim_feedforward",
+                    "v_feat_dim", "t_feat_dim", "kernel_size",
+                    "num_conv_layers", "num_mlp_layers", "n_input_proj",
+                )
+                if k in existing_opt
+                and existing_opt[k] != getattr(cfg, k, None)
+            ]
+            if mismatched:
+                raise SystemExit(
+                    f"--export_path points into a directory whose opt.json "
+                    f"records a different architecture ({', '.join(mismatched)}"
+                    f" differ); export to a fresh directory instead"
+                )
+
         epoch = -1
         if cfg.resume.endswith(".ckpt"):  # torch in, torch out (re-export)
             params = load_torch_checkpoint(cfg.resume, mc)
@@ -261,20 +305,13 @@ def main(argv=None):
         save_torch_checkpoint(
             export_path, params, mc, variant=cfg.variant, epoch=epoch
         )
-        # Sidecars so reference-repo users can run their own
-        # FlashVTG/inference.py on the export: TestOptions reloads opt.json
-        # from dirname(--resume) (config.py:189-203) and builds the model
-        # from the opt.json-pinned config file (inference.py:495). Never
-        # clobber a training run's opt.json (it may carry feature dirs this
-        # export invocation was not given).
-        export_dir = os.path.dirname(os.path.abspath(export_path))
-        opt_sidecar = os.path.join(export_dir, "opt.json")
-        if not os.path.exists(opt_sidecar):
-            # eval_bsz=1: the reference model hard-asserts bs==1 in eval
-            # forward (model.py:248) and every shipped script trains with
-            # --eval_bsz 1; our own reload lets explicit CLI flags override
-            cfg.replace(eval_bsz=1).save(opt_sidecar)
+        if existing_opt is None:
+            # the sidecar writer translates eval_bsz to 1: the reference
+            # model hard-asserts bs==1 in eval forward (model.py:248)
+            cfg.save(opt_sidecar)
         else:
+            # architecture matches the existing record: refresh only the
+            # model-config file
             from flashvtg_tpu.train.config import emit_model_cfg
 
             with open(os.path.join(export_dir, "model_cfg.py"), "w") as f:

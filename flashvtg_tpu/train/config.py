@@ -383,6 +383,10 @@ class ExperimentConfig:
         on an exported checkpoint. Extra keys are harmless to our own
         reload (load() filters to dataclass fields)."""
         d = dataclasses.asdict(self)
+        # invocation-time knobs never persist: a run trained with --serving
+        # must not silently switch later plain `cli infer --resume` calls
+        # to tensorfloat32 through the opt.json reload
+        d.pop("serving", None)
         if reference_sidecar:
             run_dir = os.path.dirname(os.path.abspath(path))
             cfg_py = os.path.join(run_dir, "model_cfg.py")
@@ -393,6 +397,13 @@ class ExperimentConfig:
                 num_workers=0,
                 results_dir=run_dir,
                 config=cfg_py,
+                # the reference model hard-asserts bs==1 in eval forward
+                # (model.py:248) and its TestOptions unconditionally restores
+                # eval_bsz from opt.json — persisting our batched value would
+                # crash every reference inference run on this dir. Our own
+                # reload keeps the invocation's eval_bsz (cli.py keep-list
+                # extension, documented in PARITY.md conscious deviations).
+                eval_bsz=1,
             )
         with open(path, "w") as f:
             json.dump(d, f, indent=2, default=list)
@@ -401,6 +412,7 @@ class ExperimentConfig:
     def load(cls, path) -> "ExperimentConfig":
         with open(path) as f:
             raw = json.load(f)
+        raw.pop("serving", None)  # invocation-time knob, never restored
         fields = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in raw.items() if k in fields})
 
@@ -421,6 +433,16 @@ def load_model_cfg_file(path: str) -> dict:
     return ns.get("model", {})
 
 
+# reference blocks-registry class name <-> our loss kind; emit_model_cfg
+# uses the derived inverse so the two maps cannot drift
+_LOSS_TYPE_MAP = {
+    "FocalLoss": "focal",
+    "DynamicBCELoss": "dynamic_bce",
+    "L1Loss": "l1",
+    "SampledNCELoss": "nce",
+}
+
+
 def apply_model_cfg(cfg: ExperimentConfig, model_dict: dict) -> ExperimentConfig:
     """Overlay a data/MR*.py-style dict onto an ExperimentConfig."""
     kw = {}
@@ -431,12 +453,7 @@ def apply_model_cfg(cfg: ExperimentConfig, model_dict: dict) -> ExperimentConfig
     if "max_num_moment" in model_dict:
         kw["max_num_moment"] = model_dict["max_num_moment"]
     loss_cfg = model_dict.get("loss_cfg", {})
-    type_map = {
-        "FocalLoss": "focal",
-        "DynamicBCELoss": "dynamic_bce",
-        "L1Loss": "l1",
-        "SampledNCELoss": "nce",
-    }
+    type_map = _LOSS_TYPE_MAP
     if loss_cfg:
         cls = loss_cfg.get("loss_cls")
         kw["loss_cls"] = type_map.get(cls["type"]) if cls else None
@@ -463,8 +480,7 @@ def emit_model_cfg(cfg: "ExperimentConfig") -> str:
     config file for reference-repo users to evaluate it there. The emitted
     text mirrors the shipped data/{MR,MR_GFL,HD}.py shapes, including the
     `_base_ = ['blocks']` registry import."""
-    type_map = {"focal": "FocalLoss", "dynamic_bce": "DynamicBCELoss",
-                "l1": "L1Loss", "nce": "SampledNCELoss"}
+    type_map = {v: k for k, v in _LOSS_TYPE_MAP.items()}
 
     def entry(kind: Optional[str], extra: str = "") -> str:
         return f"dict(type='{type_map[kind]}'{extra})" if kind else "None"

@@ -526,7 +526,10 @@ def find_auto_resume(cfg) -> Optional[str]:
         shape_keys = (
             "variant", "hidden_dim", "nheads", "enc_layers", "t2v_layers",
             "dummy_layers", "num_dummies", "dim_feedforward", "strides",
-            "v_feat_dim", "t_feat_dim", "max_v_l",
+            "v_feat_dim", "t_feat_dim", "max_v_l", "max_q_l",
+            "kernel_size", "num_conv_layers", "num_mlp_layers",
+            "n_input_proj", "num_phrase", "phrase_layers", "context_layers",
+            "rank", "t_sa",
         )
 
         def _norm(v):
@@ -680,20 +683,37 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     tx, _ = make_optimizer(cfg, steps_per_epoch)
     opt_state = tx.init(params)
     start_epoch_override = None
+    auto_resumed = False
     if cfg.resume == "auto":
         cfg = cfg.replace(resume=find_auto_resume(cfg), resume_all=True)
         if cfg.resume:
+            auto_resumed = True
             logger.info("auto-resume from %s", cfg.resume)
     if cfg.resume:
-        restored = load_checkpoint(
-            cfg.resume, like=params,
-            opt_state_like=opt_state if cfg.resume_all else None,
-        )
-        params = restored["params"]
-        if cfg.resume_all:
-            if "opt_state" in restored:
-                opt_state = restored["opt_state"]
-            start_epoch_override = int(restored.get("epoch", -1)) + 1
+        try:
+            restored = load_checkpoint(
+                cfg.resume, like=params,
+                opt_state_like=opt_state if cfg.resume_all else None,
+            )
+        except Exception:
+            # an AUTO-discovered checkpoint that fails to restore (e.g. a
+            # shape-determining flag the opt.json gate doesn't cover) must
+            # fall through to a fresh start, not kill the run; an EXPLICIT
+            # --resume path stays a hard error — the user asked for it.
+            if not auto_resumed:
+                raise
+            logger.warning(
+                "--resume auto: checkpoint %s failed to restore against the "
+                "current model shapes; starting fresh", cfg.resume,
+                exc_info=True,
+            )
+            restored = None
+        if restored is not None:
+            params = restored["params"]
+            if cfg.resume_all:
+                if "opt_state" in restored:
+                    opt_state = restored["opt_state"]
+                start_epoch_override = int(restored.get("epoch", -1)) + 1
     params = put_replicated(params)
     opt_state = put_replicated(opt_state)
     step_fn = make_train_step(model, loss_cfg, tx, cfg.train_precision)

@@ -185,7 +185,14 @@ def mfu(
     """Achieved TFLOP/s and model-FLOPs utilization for `flops` of model
     work executed in `seconds` on one chip."""
     achieved = flops / seconds / 1e12
-    passes = MXU_PASSES.get(precision, 1)
+    if precision not in MXU_PASSES:
+        # fail loudly: a typo ('tf32') silently mapped to 1 pass would
+        # understate mfu_effective 3x and record it as headroom
+        raise KeyError(
+            f"unknown precision {precision!r}; expected one of "
+            f"{sorted(MXU_PASSES)}"
+        )
+    passes = MXU_PASSES[precision]
     return {
         "achieved_tflops": achieved,
         "mfu": achieved / peak_tflops,

@@ -81,7 +81,11 @@ def main():
         if prec == "float32":
             # HL rank-stability diagnostic: the gap the ranking has to
             # survive reduced precision. Hit1 flips when |top1 - top2|
-            # saliency falls inside the precision's resolution.
+            # saliency falls inside the precision's resolution. Submission
+            # saliency is rounded to 4 decimals, so margins are quantized
+            # at 1e-4 — fine for the bf16 question (its safety threshold
+            # |score|*2^-8 ~ 2e-3 is 20x the quantum) but too coarse to
+            # say anything about tf32 (whose measured deltas are ~0 anyway).
             m = []
             for row in submission:
                 s = np.sort(np.asarray(row["pred_saliency_scores"]))[::-1]

@@ -13,6 +13,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -77,8 +79,22 @@ class TestRelayPreProbe:
 
     def test_refused_ports_fail_fast(self, monkeypatch):
         monkeypatch.setenv("JAX_PLATFORMS", "axon")
-        # nothing listens on the relay ports in the CPU test env, so the
-        # pre-probe must return False within its 2 s/port budget.
+        # on the TPU host a LIVE relay legitimately serves these ports —
+        # the refused-port behavior is only observable when nothing listens
+        import socket
+
+        for port in (8082, 8083, 8087):
+            s = socket.socket()
+            s.settimeout(0.5)
+            try:
+                s.connect(("127.0.0.1", port))
+            except OSError:
+                continue
+            else:
+                pytest.skip("live relay on the probe ports; refusal "
+                            "behavior not observable here")
+            finally:
+                s.close()
         assert bench.relay_ports_open() is False
 
     def test_open_port_detected(self, monkeypatch):

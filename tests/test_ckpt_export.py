@@ -213,3 +213,30 @@ def test_export_hd_shape_no_pyramid_params():
     sd = export_state_dict(params["params"], cfg.model_config())
     assert not any(k.startswith("pyramid") for k in sd)
     assert any(k.startswith("class_head") for k in sd)
+
+
+def test_export_refuses_mismatched_target_dir(tmp_path):
+    """Round-4 review: exporting into a directory whose opt.json records a
+    different architecture must refuse BEFORE writing anything (no partial
+    clobber of a training run's sidecars)."""
+    import json
+
+    import pytest
+
+    from flashvtg_tpu.cli import main as cli_main
+
+    target = tmp_path / "run"
+    target.mkdir()
+    (target / "opt.json").write_text(json.dumps({"hidden_dim": 128}))
+    (target / "model_cfg.py").write_text("# original\n")
+    resume = tmp_path / "model.ckpt"  # never loaded: refusal comes first
+    resume.write_bytes(b"\0")
+
+    with pytest.raises(SystemExit, match="different architecture"):
+        cli_main(
+            ["export", "qvhighlights_slowclip", "--hidden_dim", "256",
+             "--resume", str(resume),
+             "--export_path", str(target / "out.ckpt")]
+        )
+    assert (target / "model_cfg.py").read_text() == "# original\n"
+    assert not (target / "out.ckpt").exists()

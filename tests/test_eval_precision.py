@@ -114,3 +114,32 @@ def test_serving_flag_applies_tf32_profile(tmp_path, monkeypatch):
     assert cli_main(base) == 0
     assert cli_main(base + ["--serving", "--eval_precision", "bfloat16"]) == 0
     assert seen == ["tensorfloat32", "float32", "bfloat16"]
+
+
+def test_serving_never_persists_and_sidecar_eval_bsz_is_1(tmp_path):
+    """Two invocation-time-vs-persisted contracts (PARITY.md deviation 7):
+    (a) `serving` never round-trips through opt.json — a run trained with
+    --serving must not flip later plain `cli infer --resume` calls to tf32,
+    even against a stale opt.json that recorded it; (b) the reference-
+    sidecar opt.json records eval_bsz=1 (the only value the reference model
+    can eval at, model.py:248) while our own reload keeps the invocation's
+    batched value via the keep-list."""
+    import json
+
+    from flashvtg_tpu.train.config import ExperimentConfig
+
+    cfg = from_preset(
+        "qvhighlights_slowclip", serving=True, eval_bsz=64,
+    )
+    opt_path = str(tmp_path / "opt.json")
+    cfg.save(opt_path)
+    raw = json.load(open(opt_path))
+    assert "serving" not in raw, "serving must never persist"
+    assert raw["eval_bsz"] == 1, "sidecar must be reference-runnable"
+
+    # even a handcrafted stale record cannot re-enable serving on load
+    raw["serving"] = True
+    json.dump(raw, open(opt_path, "w"))
+    loaded = ExperimentConfig.load(opt_path)
+    assert loaded.serving is False
+    assert loaded.eval_bsz == 1  # load() itself is verbatim; see keep-list

@@ -39,6 +39,12 @@ def test_preset_opt_json_roundtrip(tmp_path, name):
     a = dataclasses.asdict(cfg)
     b = dataclasses.asdict(loaded)
     for k in a:
+        if k in ("eval_bsz", "serving"):
+            # documented sidecar translations (PARITY.md deviation 7):
+            # opt.json records eval_bsz=1 for the reference's bs==1 assert
+            # (our reload keeps the invocation's value via the keep-list),
+            # and serving never persists at all
+            continue
         va, vb = a[k], b[k]
         if isinstance(va, tuple):
             va = list(va)

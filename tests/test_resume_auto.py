@@ -124,3 +124,96 @@ def test_auto_resume_skips_changed_model_shape(tmp_path):
         results_root=str(root),
     )
     assert find_auto_resume(ms) is None
+
+
+def test_auto_resume_shape_gate_covers_head_flags(tmp_path):
+    """Round-4 review: kernel_size / num_conv_layers / num_mlp_layers /
+    n_input_proj change the param tree too — the gate must skip on them."""
+    import json
+
+    from flashvtg_tpu.train.config import ExperimentConfig
+    from flashvtg_tpu.train.loop import find_auto_resume
+
+    root = tmp_path / "results"
+    d = root / "stale"
+    (d / "model_latest").mkdir(parents=True)
+    old = ExperimentConfig(exp_id="mine", dset_name="hl", kernel_size=5)
+    with open(d / "opt.json", "w") as f:
+        json.dump(
+            {"dset_name": old.dset_name, "ctx_mode": old.ctx_mode,
+             "exp_id": old.exp_id, "kernel_size": old.kernel_size,
+             "num_conv_layers": old.num_conv_layers,
+             "num_mlp_layers": old.num_mlp_layers}, f,
+        )
+
+    same = ExperimentConfig(
+        exp_id="mine", dset_name="hl", kernel_size=5, results_root=str(root)
+    )
+    assert find_auto_resume(same) == str(d / "model_latest")
+    for change in (
+        dict(kernel_size=7),
+        dict(num_conv_layers=old.num_conv_layers + 1),
+        dict(num_mlp_layers=old.num_mlp_layers + 1),
+    ):
+        kw = dict(
+            exp_id="mine", dset_name="hl", kernel_size=5,
+            results_root=str(root),
+        )
+        kw.update(change)
+        assert find_auto_resume(ExperimentConfig(**kw)) is None, change
+
+
+@pytest.mark.slow
+def test_auto_resume_falls_back_fresh_on_restore_failure(tmp_path, caplog):
+    """A corrupt/shape-incompatible AUTO-discovered checkpoint must warn and
+    start fresh, not kill the run; an EXPLICIT --resume path stays fatal."""
+    import logging
+
+    ann, vdir, qdir = make_synthetic_qvh(
+        str(tmp_path), n_queries=8, v_dim=16, t_dim=12, n_clips=8
+    )
+
+    def mk(**kw):
+        return from_preset(
+            "qvhighlights_slowclip",
+            v_feat_dim=16, t_feat_dim=12, max_v_l=8, max_q_l=6,
+            hidden_dim=16, dim_feedforward=32, t2v_layers=1, enc_layers=1,
+            dummy_layers=1, num_dummies=2, num_mlp_layers=2,
+            num_conv_layers=1, bsz=4, eval_bsz=4, n_epoch=1, eval_epoch=10,
+            nms_thd=-1.0, train_precision="float32", exp_id="fallback",
+            train_path=ann, eval_path="", v_feat_dirs=(vdir,),
+            t_feat_dir=qdir, results_root=str(tmp_path / "results"),
+            use_tensorboard=False, **kw,
+        )
+
+    _, _, run_dir = train(mk(), results_dir=str(tmp_path / "results" / "a"))
+    # corrupt the finalized checkpoint's array storage so restore throws
+    import glob
+    import shutil
+
+    victims = glob.glob(
+        os.path.join(run_dir, "model_latest", "**", "*"), recursive=True
+    )
+    for v in victims:
+        if os.path.isfile(v) and not v.endswith(".json"):
+            with open(v, "wb") as f:
+                f.write(b"corrupt")
+
+    with caplog.at_level(logging.WARNING, logger="flashvtg_tpu.train.loop"):
+        p, _, _ = train(
+            mk(resume="auto"), results_dir=str(tmp_path / "results" / "b")
+        )
+    assert any(
+        "failed to restore" in r.getMessage() for r in caplog.records
+    ), "fallback warning missing"
+    import jax
+
+    for leaf in jax.tree.leaves(p):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # explicit --resume on the same corrupt checkpoint must still die
+    with pytest.raises(Exception):
+        train(
+            mk(resume=os.path.join(run_dir, "model_latest")),
+            results_dir=str(tmp_path / "results" / "c"),
+        )
