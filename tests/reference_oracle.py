@@ -315,9 +315,23 @@ def swap_element(x, i, j):
     wb = os.path.join(shim_dir, "wandb")
     os.makedirs(wb, exist_ok=True)
     with open(os.path.join(wb, "__init__.py"), "w") as f:
+        # FlashVTG_ms/train.py:124-125 does wandb.init(...) then reads
+        # wandb.run.dir as the SummaryWriter log dir — the stub must carry
+        # a run object with a real directory
         f.write('''\
+import tempfile
+
+
+class _Run:
+    def __init__(self):
+        self.dir = tempfile.mkdtemp(prefix="wandb_shim_")
+
+
+run = _Run()
+
+
 def init(*a, **k):
-    return None
+    return run
 
 
 def log(*a, **k):
@@ -326,5 +340,26 @@ def log(*a, **k):
 
 def finish(*a, **k):
     return None
+''')
+
+    # the reference targets pre-2.6 torch whose torch.load defaulted to
+    # weights_only=False; its trainers re-load their own checkpoints that
+    # pickle the full opt Namespace (FlashVTG_ms/train.py:245, :229-233),
+    # which modern torch's safe unpickler rejects. Restore the
+    # reference-era default inside the subprocess only (the shim dir heads
+    # PYTHONPATH, so site.py imports this sitecustomize).
+    with open(os.path.join(shim_dir, "sitecustomize.py"), "w") as f:
+        f.write('''\
+import torch
+
+_orig_load = torch.load
+
+
+def _load(*a, **k):
+    k.setdefault("weights_only", False)
+    return _orig_load(*a, **k)
+
+
+torch.load = _load
 ''')
     return shim_dir

@@ -463,6 +463,109 @@ def test_reference_youtube_hl_branch_parity(tmp_path):
     assert ref_bytes == our_bytes, f"{ref_bytes!r} != {our_bytes!r}"
 
 
+def test_reference_ms_train_debug_and_import(tmp_path):
+    """The `_ms` trainer runs literally: `python FlashVTG_ms/train.py
+    data/MR.py --debug ...` (the reference's OWN config file) drives one
+    real debug epoch on hl-shaped data — fwd incl. the neg-pair pass, the
+    full `_ms` criterion, optimizer step, in-loop eval, best+latest
+    torch.save, and the post-loop best/latest re-evals (which, unlike the
+    base trainer, also hit the test split unconditionally — hence
+    --test_path). Exercises the wandb.run.dir SummaryWriter quirk
+    (train.py:124-125) through the shim. The checkpoint it produces
+    (pickled opt Namespace + optimizer state) must then load and evaluate
+    in OUR stack via `cli infer --variant ms`.
+
+    NOT run on tvsum/youtube: the shipped `_ms` criterion hardcodes 'reg'
+    (and 'cls') in its losses list (model.py losses=[...]) and takes
+    boundaries from the jsonl's relevant_windows, which are null for the
+    HD datasets -> get_target crashes on data['boundary'].size(0)
+    (loss.py:323). The `_ms` tree ships no scripts; as committed it cannot
+    execute a single training step on the HD datasets. See PARITY.md."""
+    import json
+
+    root = tmp_path
+    rows = load_jsonl(REF_GT)[:N_QUERIES]
+    ann = root / "val.jsonl"
+    save_jsonl(rows, ann)
+    vdir, qdir = root / "vid", root / "txt"
+    vdir.mkdir()
+    qdir.mkdir()
+    rng = np.random.default_rng(13)
+    for r in rows:
+        lv = int(r["duration"] / 2)
+        np.savez(vdir / f"{r['vid']}.npz",
+                 features=rng.standard_normal((lv, V_DIM), dtype=np.float32))
+        np.savez(qdir / f"qid{r['qid']}.npz",
+                 last_hidden_state=rng.standard_normal(
+                     (int(rng.integers(5, 20)), T_DIM), dtype=np.float32))
+
+    ms_flags = [
+        "--num_phrase", "2", "--phrase_layers", "1",
+        "--context_layers", "1", "--rank", "8", "--t_sa", "1",
+    ]
+    shims = write_subprocess_shims(str(root / "shims"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([shims, REF_ROOT])
+    env.pop("JAX_PLATFORMS", None)
+    results_root = root / "ref_train_ms"
+    results_root.mkdir()
+    proc = subprocess.run(
+        [sys.executable, "FlashVTG_ms/train.py",
+         os.path.join(REF_ROOT, "data/MR.py"),
+         "--debug",
+         "--exp_id", "debugms",
+         "--dset_name", "hl",
+         # --use_neg is mandatory in practice: without it the _ms criterion
+         # crashes (loss.py:512 reads real_neg_mask that is only bound when
+         # the neg pass ran — the use_neg=False upstream crash, PARITY.md)
+         "--use_neg",
+         "--train_path", str(ann),
+         "--eval_path", str(ann),
+         "--test_path", str(ann),
+         "--v_feat_dirs", str(vdir),
+         "--t_feat_dir", str(qdir),
+         "--v_feat_dim", str(V_DIM), "--t_feat_dim", str(T_DIM),
+         "--num_dummies", "4", "--t2v_layers", "2", "--enc_layers", "2",
+         "--dummy_layers", "1", "--num_mlp_layers", "3",
+         *ms_flags,
+         "--max_q_l", "32", "--max_v_l", "75",
+         "--bsz", "8", "--eval_bsz", "1", "--n_epoch", "1",
+         "--eval_epoch", "1",
+         "--device", "-1",
+         "--results_root", str(results_root)],
+        cwd=REF_ROOT, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"FlashVTG_ms/train.py --debug failed\nstdout:\n"
+        f"{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    run_dirs = list(results_root.glob("hl-*debugms-*"))
+    assert len(run_dirs) == 1, (sorted(os.listdir(results_root)),
+                                proc.stderr[-1000:])
+    ref_latest = next(run_dirs[0].glob("*_latest.ckpt"), None)
+    assert ref_latest is not None, sorted(os.listdir(run_dirs[0]))
+
+    from flashvtg_tpu.cli import main as cli_main
+
+    rc = cli_main(
+        # --variant ms is explicit: the reference encodes the variant in
+        # the code tree (FlashVTG_ms/), not in its opt.json, so the reload
+        # from a reference-trained run dir cannot recover it (MIGRATION.md)
+        ["infer", "qvhighlights_slowclip", *MODEL_FLAGS, "--variant", "ms",
+         *ms_flags,
+         "--v_feat_dirs", str(vdir), "--t_feat_dir", str(qdir),
+         "--eval_path", str(ann),
+         "--resume", str(ref_latest),
+         "--eval_precision", "float32",
+         "--eval_results_dir", str(tmp_path / "ours_ms")]
+    )
+    assert rc == 0
+    ours = tmp_path / "ours_ms" / "infer_hl_val_preds_metrics.json"
+    assert ours.exists()
+    brief = json.load(open(ours))["brief"]
+    assert "MR-full-mAP" in brief and np.isfinite(brief["MR-full-mAP"])
+
+
 TACOS_GT = os.path.join(REF_ROOT, "data/tacos/val.jsonl")
 
 
