@@ -132,7 +132,13 @@ def test_reference_inference_byte_parity(exported_run):
     assert rc == 0
     our_sub = os.path.join(export_dir, "infer_hl_val_preds.jsonl")
     assert os.path.exists(our_sub)
+    _compare_mr_artifacts(ref_sub, our_sub, N_QUERIES)
 
+
+def _compare_mr_artifacts(ref_sub, our_sub, n_queries):
+    """The measured hl-branch byte-parity contract (module docstring):
+    metrics byte-identical, windows exact (NMS ties as sets), saliency
+    bounded to rare single 4th-decimal rounding flips."""
     # metrics: byte-for-byte, both plain and nms
     for suffix in ("_metrics.json", "_nms_thd_0.7_metrics.json"):
         ref_path = ref_sub.replace(".jsonl", suffix)
@@ -149,7 +155,7 @@ def test_reference_inference_byte_parity(exported_run):
     for suffix in ("", "_nms_thd_0.7"):
         ref_rows = load_jsonl(ref_sub.replace(".jsonl", suffix + ".jsonl"))
         our_rows = load_jsonl(our_sub.replace(".jsonl", suffix + ".jsonl"))
-        assert len(ref_rows) == len(our_rows) == N_QUERIES
+        assert len(ref_rows) == len(our_rows) == n_queries
         total = flips = 0
         for r, o in zip(ref_rows, our_rows):
             for key in ("qid", "query", "vid"):
@@ -461,6 +467,87 @@ def test_reference_youtube_hl_branch_parity(tmp_path):
     with open(our_metric, "rb") as f:
         our_bytes = f.read()
     assert ref_bytes == our_bytes, f"{ref_bytes!r} != {our_bytes!r}"
+
+
+def test_reference_full_train_then_import_byte_parity(tmp_path):
+    """Import-direction byte-parity. The reference trains NON-debug for one
+    epoch (`python FlashVTG/train.py data/MR.py ...`): its __main__ then
+    chains into its own `start_inference(opt)` (train.py tail), which
+    re-parses TestOptions, reloads the run's opt.json, and evaluates
+    model_best.ckpt — all reference code, zero harness involvement. Our
+    `cli infer --resume model_best.ckpt` on the same inputs must then
+    reproduce its artifacts under the same contract as the export
+    direction: metrics byte-identical, windows exact, saliency bounded.
+    (The existing import test only asserts a finite mAP; this one pins the
+    numbers.)"""
+    root = tmp_path
+    rows = load_jsonl(REF_GT)[:N_QUERIES]
+    ann = root / "val.jsonl"
+    save_jsonl(rows, ann)
+    vdir, qdir = root / "vid", root / "txt"
+    vdir.mkdir()
+    qdir.mkdir()
+    rng = np.random.default_rng(29)
+    for r in rows:
+        lv = int(r["duration"] / 2)
+        np.savez(vdir / f"{r['vid']}.npz",
+                 features=rng.standard_normal((lv, V_DIM), dtype=np.float32))
+        np.savez(qdir / f"qid{r['qid']}.npz",
+                 last_hidden_state=rng.standard_normal(
+                     (int(rng.integers(5, 20)), T_DIM), dtype=np.float32))
+
+    shims = write_subprocess_shims(str(root / "shims"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([shims, REF_ROOT])
+    env.pop("JAX_PLATFORMS", None)
+    results_root = root / "ref_train"
+    results_root.mkdir()
+    proc = subprocess.run(
+        [sys.executable, "FlashVTG/train.py",
+         os.path.join(REF_ROOT, "data/MR.py"),
+         "--exp_id", "fulltrain",
+         "--dset_name", "hl",
+         "--train_path", str(ann),
+         "--eval_path", str(ann),
+         "--v_feat_dirs", str(vdir),
+         "--t_feat_dir", str(qdir),
+         "--v_feat_dim", str(V_DIM), "--t_feat_dim", str(T_DIM),
+         "--num_dummies", "4", "--t2v_layers", "2", "--enc_layers", "2",
+         "--dummy_layers", "1", "--num_mlp_layers", "3",
+         "--max_q_l", "32", "--max_v_l", "75",
+         "--bsz", "8", "--eval_bsz", "1", "--n_epoch", "1",
+         "--eval_epoch", "1",
+         "--device", "-1",
+         "--results_root", str(results_root)],
+        cwd=REF_ROOT, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"reference full train+infer failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+    run_dirs = list(results_root.glob("hl-video_tef-fulltrain-*"))
+    assert len(run_dirs) == 1, proc.stderr[-1000:]
+    run_dir = run_dirs[0]
+    ref_best = run_dir / "model_best.ckpt"
+    assert ref_best.exists(), sorted(os.listdir(run_dir))
+    # the chained start_inference wrote the submission artifacts
+    ref_sub = run_dir / "hl_val_submission.jsonl"
+    assert ref_sub.exists(), sorted(os.listdir(run_dir))
+
+    from flashvtg_tpu.cli import main as cli_main
+
+    ours_dir = root / "ours"
+    rc = cli_main(
+        ["infer", "qvhighlights_slowclip", *MODEL_FLAGS,
+         "--v_feat_dirs", str(vdir), "--t_feat_dir", str(qdir),
+         "--eval_path", str(ann), "--eval_bsz", "8",
+         "--resume", str(ref_best), "--eval_precision", "float32",
+         "--eval_results_dir", str(ours_dir)]
+    )
+    assert rc == 0
+    our_sub = str(ours_dir / "infer_hl_val_preds.jsonl")
+    assert os.path.exists(our_sub)
+    _compare_mr_artifacts(str(ref_sub), our_sub, N_QUERIES)
 
 
 def test_reference_ms_train_debug_and_import(tmp_path):
