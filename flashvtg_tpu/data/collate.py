@@ -16,6 +16,24 @@ from flashvtg_tpu.data.dataset import strip_vid_suffix
 from flashvtg_tpu.ops.pad import bucket_length, pad_batch
 
 
+def neg_pair_base(vids: Sequence[str], dset_name: str) -> List[str]:
+    """Vid identities the negative-pair mask compares (model.py:268-272;
+    'hl' strips the _start_end clip suffix so clips cut from one source
+    video are not used as negatives). Single definition — the same rule
+    feeds both the per-batch Collator mask and the multi-host global mask
+    (train/loop.py)."""
+    if dset_name in ("hl",):
+        return [strip_vid_suffix(v) for v in vids]
+    return list(vids)
+
+
+def rolled_neg_mask(base: Sequence[str]) -> np.ndarray:
+    """Rolled-by-one != own, the model's negative-pass pairing
+    (models/flashvtg.py jnp.roll over axis 0)."""
+    rolled = list(base[1:]) + list(base[:1])
+    return np.asarray([a != b for a, b in zip(base, rolled)], np.float32)
+
+
 @dataclasses.dataclass
 class Collator:
     max_q_l: int
@@ -75,14 +93,8 @@ class Collator:
             batch["gt_windows"] = gt
 
         # negative-pair indicator: rolled-by-one video differs from own
-        # (oracle: model.py:268-272; 'hl' strips the _start_end suffix)
-        if self.dset_name in ("hl",):
-            base = [strip_vid_suffix(v) for v in batch["vid"]]
-        else:
-            base = list(batch["vid"])
-        rolled = base[1:] + base[:1]
-        batch["real_neg_mask"] = np.asarray(
-            [a != b for a, b in zip(base, rolled)], np.float32
+        batch["real_neg_mask"] = rolled_neg_mask(
+            neg_pair_base(batch["vid"], self.dset_name)
         )
         return batch
 

@@ -57,9 +57,11 @@ def strip_vid_suffix(vid: str) -> str:
     (oracle: model.py:25-33 find_nth + :140-145) so that clips cut from the
     same source video count as false negatives."""
     count = vid.count("_")
-    n = count - 1
-    if n <= 0:
+    if count == 0:
         return vid
+    # find_nth walks `while n > 1`, so n=0 (a single-underscore vid) and
+    # n=1 both land on the FIRST underscore — the reference cuts there
+    n = max(1, count - 1)
     pos, seen = -1, 0
     for i, ch in enumerate(vid):
         if ch == "_":

@@ -66,7 +66,16 @@ def videos_with_features(feat_root: str):
     return set.intersection(*per_dir) if per_dir else set()
 
 
-def build_rows(anno: Dict, splits: Dict, dataset: str, available=None):
+def build_rows(anno: Dict, splits: Dict, dataset: str, available=None,
+               sfc: bool = False):
+    """dataset='tvsum' default emits the SHIPPED tvsum_train.jsonl format:
+    raw (L, 20) per-annotator scores — what the 'tvsum' preset's label
+    pipeline (labels.saliency_tvsum, 20-annotator eval AP) consumes. The
+    reference's own preprocess_json.py instead sums annotators into one
+    column, but that script targets the `_sfc` VARIANT (it writes
+    tvsum_train_sfc.jsonl); pass sfc=True to reproduce it exactly —
+    feeding summed labels to the standard preset would silently change
+    both training labels and the eval metric definition."""
     train_rows, val_rows = [], []
     for vid, entry in anno.items():
         if available is not None and vid not in available:
@@ -75,10 +84,13 @@ def build_rows(anno: Dict, splits: Dict, dataset: str, available=None):
         domain = entry["domain"]
         if dataset == "tvsum":
             query = entry["title"]
-            saliency = np.asarray(entry["anno"]).sum(1).tolist()
+            if sfc:  # reference preprocess_json.py:71-75
+                label = [[s] for s in np.asarray(entry["anno"]).sum(1).tolist()]
+            else:  # shipped tvsum_train.jsonl: raw 20-annotator columns
+                label = [list(map(float, r)) for r in entry["anno"]]
         else:  # youtube: binary match indicator (UniVTG convention)
             query = entry["domain"]
-            saliency = [1 if s > 0 else 0 for s in entry["match"]]
+            label = [[1 if s > 0 else 0] for s in entry["match"]]
         row = {
             "qid": vid,
             "query": query,
@@ -86,7 +98,7 @@ def build_rows(anno: Dict, splits: Dict, dataset: str, available=None):
             "vid": vid,
             "relevant_clip_ids": None,
             "relevant_windows": None,
-            "label": [[s] for s in saliency],
+            "label": label,
             "domain": domain,
         }
         if dataset == "youtube":
@@ -112,6 +124,11 @@ def main(argv=None):
     parser.add_argument("--out_dir", required=True)
     parser.add_argument("--splits_json", default=None,
                         help="override the vendored domain splits")
+    parser.add_argument("--sfc", action="store_true",
+                        help="tvsum only: emit the reference "
+                             "preprocess_json.py's summed-annotator labels "
+                             "into *_sfc.jsonl filenames instead of the "
+                             "standard 20-column tvsum_train.jsonl format")
     args = parser.parse_args(argv)
 
     with open(args.anno) as f:
@@ -125,16 +142,24 @@ def main(argv=None):
         splits = YOUTUBE_SPLITS
 
     available = videos_with_features(args.feat_root) if args.feat_root else None
-    train_rows, val_rows = build_rows(anno, splits, args.dataset, available)
+    sfc = bool(args.sfc and args.dataset == "tvsum")
+    train_rows, val_rows = build_rows(
+        anno, splits, args.dataset, available, sfc=sfc
+    )
 
     os.makedirs(args.out_dir, exist_ok=True)
     prefix = "tvsum" if args.dataset == "tvsum" else "youtube"
-    save_jsonl(train_rows, os.path.join(args.out_dir, f"{prefix}_train.jsonl"))
+    suffix = "_sfc" if sfc else ""
+    save_jsonl(
+        train_rows,
+        os.path.join(args.out_dir, f"{prefix}_train{suffix}.jsonl"),
+    )
     save_jsonl(
         val_rows,
         os.path.join(
             args.out_dir,
-            "tvsum_val.jsonl" if prefix == "tvsum" else "youtube_valid.jsonl",
+            f"tvsum_val{suffix}.jsonl" if prefix == "tvsum"
+            else "youtube_valid.jsonl",
         ),
     )
     print(f"train {len(train_rows)}, val {len(val_rows)}")

@@ -25,6 +25,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import functools
+import json
 import logging
 import os
 import time
@@ -215,10 +216,15 @@ def _dataset_cfg(cfg: ExperimentConfig, path: str, load_labels=True,
 
 
 def stop_metric(cfg: ExperimentConfig, brief: Dict[str, float]) -> float:
-    """Model-selection metric per dataset (train.py:186-194, :321)."""
+    """Model-selection metric per dataset (train.py:186-194, :321).
+
+    Only the literal 'hl' dset_name selects by MR-full-mAP; the reference
+    routes everything else MR-shaped — including qv_internvideo2, whose
+    shipped script sets that dset_name — to the R1 average (the else
+    branch of train.py:186-194)."""
     if cfg.dset_name in ("tvsum", "youtube_uni"):
         return brief["mAP"]
-    if cfg.dset_name in ("hl", "qv_internvideo2"):
+    if cfg.dset_name == "hl":
         return brief["MR-full-mAP"]
     if cfg.dset_name == "tacos":
         return brief["MR-full-R1@0.3"]
@@ -262,6 +268,15 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
     if is_proc0:
         save_jsonl(submission, sub_path)
     metrics = metrics_nms = None
+    # the NMS predictions are saved whenever NMS ran, metrics or not — the
+    # reference writes *_nms_thd_*.jsonl unconditionally for nms_thd != -1
+    # (eval_epoch_post_processing); on a GT-less test split those are the
+    # leaderboard-submission artifacts
+    if submission_nms is not None and is_proc0:
+        save_jsonl(
+            submission_nms,
+            sub_path.replace(".jsonl", f"_nms_thd_{cfg.nms_thd}.jsonl"),
+        )
     if compute_metrics:
         from flashvtg_tpu.eval.metrics import eval_submission
 
@@ -277,11 +292,6 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
                 pretty=True,
             )
         if submission_nms is not None:
-            if is_proc0:
-                save_jsonl(
-                    submission_nms,
-                    sub_path.replace(".jsonl", f"_nms_thd_{cfg.nms_thd}.jsonl"),
-                )
             metrics_nms = eval_submission(
                 submission_nms, eval_dataset.data, verbose=False
             )
@@ -296,14 +306,21 @@ def evaluate(cfg, model, params, eval_dataset, results_dir, tag="latest",
     return metrics, metrics_nms, eval_losses
 
 
-def save_checkpoint(path: str, params, opt_state, epoch: int, cfg):
+def save_checkpoint(path: str, params, opt_state, epoch: int, cfg,
+                    best_score: Optional[float] = None):
     """Full train state: params + optimizer state + epoch (reference saves
     {model, optimizer, lr_scheduler, epoch, opt}, train.py:200-233).
 
     Multi-controller: EVERY process must call this — orbax coordinates
     internally (primary host writes, the rest join its save barriers; a
     single-caller save deadlocks on `_Checkpointer:save_start`). Only the
-    opt.json sidecar is process-0-gated."""
+    opt.json sidecar is process-0-gated.
+
+    `best_score` (when known) lands in a `<name>.state.json` sidecar so a
+    `--resume auto` crash recovery can restore the best-so-far bar instead
+    of letting the first post-resume eval overwrite model_best with a
+    worse model (kept outside the orbax tree for old-checkpoint
+    compatibility)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -321,6 +338,10 @@ def save_checkpoint(path: str, params, opt_state, epoch: int, cfg):
         cfg.save(
             os.path.join(os.path.dirname(os.path.abspath(path)), "opt.json")
         )
+        if best_score is not None:
+            state_path = os.path.abspath(path) + ".state.json"
+            with open(state_path, "w") as f:
+                json.dump({"best_score": float(best_score)}, f)
 
 
 def load_checkpoint(path: str, like=None, opt_state_like=None):
@@ -407,9 +428,9 @@ def global_real_neg_mask(global_vids, shuffled_rows, step: int,
         ]
         for p in range(pc)
     ])
-    base = [global_vids[j] for j in g_rows]
-    rolled = base[1:] + base[:1]
-    gmask = np.asarray([a != b for a, b in zip(base, rolled)], np.float32)
+    from flashvtg_tpu.data.collate import rolled_neg_mask
+
+    gmask = rolled_neg_mask([global_vids[j] for j in g_rows])
     return gmask[me * local_bsz : (me + 1) * local_bsz]
 
 
@@ -684,6 +705,8 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     opt_state = tx.init(params)
     start_epoch_override = None
     auto_resumed = False
+    resumed_best_score = None
+    prior_best_ckpt = None
     if cfg.resume == "auto":
         cfg = cfg.replace(resume=find_auto_resume(cfg), resume_all=True)
         if cfg.resume:
@@ -714,6 +737,22 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
                 if "opt_state" in restored:
                     opt_state = restored["opt_state"]
                 start_epoch_override = int(restored.get("epoch", -1)) + 1
+                # restore the best-so-far bar (and where its params live):
+                # without it, the first post-resume eval would overwrite
+                # model_best with a potentially worse model
+                try:
+                    with open(os.path.abspath(cfg.resume)
+                              + ".state.json") as f:
+                        resumed_best_score = float(
+                            json.load(f)["best_score"]
+                        )
+                except (OSError, ValueError, KeyError):
+                    resumed_best_score = None
+                cand = os.path.join(
+                    os.path.dirname(os.path.abspath(cfg.resume)), "model_best"
+                )
+                if os.path.isdir(cand):
+                    prior_best_ckpt = cand
     params = put_replicated(params)
     opt_state = put_replicated(opt_state)
     step_fn = make_train_step(model, loss_cfg, tx, cfg.train_precision)
@@ -848,15 +887,20 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     # indicator must be computed over the global row order, not per host.
     # Every host derives the same shuffle (same seed) and the same per-host
     # striding, so each can reconstruct the global order locally.
-    _strip = (
-        strip_vid_suffix if cfg.dset_name in ("hl",) else (lambda v: v)
+    from flashvtg_tpu.data.collate import neg_pair_base
+
+    global_vids = neg_pair_base(
+        [r["vid"] for r in train_dataset.data], cfg.dset_name
     )
-    global_vids = [_strip(r["vid"]) for r in train_dataset.data]
     shuffler = np.random.default_rng(cfg.seed)
     # NOTE: params/opt_state buffers are donated to epoch_step, so stale
     # references (e.g. "best_params = params") would dangle; the best state
     # lives in the model_best checkpoint and is reloaded after the loop.
     best_score, have_best, es_cnt = 0.0, False, 0
+    if resumed_best_score is not None:
+        best_score = resumed_best_score
+        logger.info("resume: best-so-far bar restored to %.4f "
+                    "(prior model_best: %s)", best_score, prior_best_ckpt)
     if cfg.start_epoch is not None:
         start_epoch = cfg.start_epoch
     elif start_epoch_override is not None:
@@ -916,7 +960,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             # processes; primary host writes)
             save_checkpoint(
                 os.path.join(results_dir, "model_best"),
-                params, opt_state, epoch, cfg,
+                params, opt_state, epoch, cfg, best_score=score,
             )
         return improved
 
@@ -1109,7 +1153,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
                     break
         save_checkpoint(
             os.path.join(results_dir, "model_latest"),
-            params, opt_state, epoch, cfg,
+            params, opt_state, epoch, cfg, best_score=best_score,
         )
     writer.close()
     best_params = params
@@ -1118,6 +1162,13 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
             os.path.join(results_dir, "model_best"),
             like=params, opt_state_like=opt_state,
         )["params"]
+    elif prior_best_ckpt is not None and best_score > 0.0:
+        # resumed run never beat the pre-crash best: the best params live
+        # in the PRIOR run's model_best
+        best_params = load_checkpoint(
+            prior_best_ckpt, like=params, opt_state_like=opt_state,
+        )["params"]
+        have_best = True
     if cfg.test_path and eval_dataset is not None:
         # FlashVTG_ms final evaluations (train.py:243-286): the best AND
         # latest models, each on the val split AND the --test_path split.

@@ -43,12 +43,27 @@ def test_prep_build_rows_tvsum():
             "domain": "BK",
         },
     }
+    # default: the SHIPPED tvsum_train.jsonl format — raw (L, 20)
+    # per-annotator columns, what the 'tvsum' preset's label pipeline and
+    # 20-annotator eval AP consume
     train, val = build_rows(anno, TVSUM_SPLITS, "tvsum")
     assert len(train) == 1 and len(val) == 1
     row = train[0]
     assert row["vid"] == "WxtbjNsCQ8A"
     assert row["duration"] == 100.0
-    assert len(row["label"]) == 50 and len(row["label"][0]) == 1
+    assert len(row["label"]) == 50 and len(row["label"][0]) == 20
+    assert row["label"] == [
+        list(map(float, r)) for r in anno["WxtbjNsCQ8A"]["anno"]
+    ]
+
+    # --sfc: the reference preprocess_json.py's summed single column
+    # (that script targets the *_sfc.jsonl variant filenames)
+    train_sfc, _ = build_rows(anno, TVSUM_SPLITS, "tvsum", sfc=True)
+    lab = train_sfc[0]["label"]
+    assert len(lab) == 50 and len(lab[0]) == 1
+    assert lab == [
+        [sum(r)] for r in anno["WxtbjNsCQ8A"]["anno"]
+    ]
 
 
 def test_prep_build_rows_youtube():
@@ -150,3 +165,40 @@ def test_tvsum_missing_domain_clear_error(tmp_path):
         VTGDataset(DataConfig(dset_name="tvsum", data_path=str(p)))
     with pytest.raises(ValueError, match="dset_domain"):
         VTGDataset(DataConfig(dset_name="youtube_uni", data_path=str(p)))
+
+
+def test_strip_vid_suffix_matches_reference_find_nth():
+    """The 'hl' neg-pair vid identity vs the LIVE reference implementation
+    (model.py:25-33 find_nth + :140-145), including the single-underscore
+    edge where find_nth(v, '_', 0) behaves like n=1 and cuts at the first
+    underscore (round-4 review finding)."""
+    import importlib.util
+
+    from flashvtg_tpu.data.dataset import strip_vid_suffix
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_model_header", "/root/reference/FlashVTG/model.py"
+    )
+    src = open("/root/reference/FlashVTG/model.py").read()
+    ns = {}
+    # execute only the dependency-free find_nth definition
+    start = src.index("def find_nth")
+    end = src.index("\ndef ", start + 1)
+    exec(src[start:end], ns)  # noqa: S102 - reference oracle, test-only
+    find_nth = ns["find_nth"]
+
+    def ref_strip(vid):
+        count = vid.count("_")
+        pos = find_nth(vid, "_", count - 1)
+        return vid[:pos]
+
+    for vid in (
+        "j7rJstJMghA_360.0_510.0",   # the real QVH shape (count=2)
+        "video_1",                    # count=1: cut at the only underscore
+        "a_b_1.0_2.0",                # count=3: cut at the 2nd underscore
+        "a_b_c_d_9_9",                # count=5
+        "noline",                     # count=0: unchanged (find_nth -> len)
+        "_leading",                   # underscore first
+        "trailing_",                  # underscore last
+    ):
+        assert strip_vid_suffix(vid) == ref_strip(vid), vid

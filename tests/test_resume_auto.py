@@ -217,3 +217,52 @@ def test_auto_resume_falls_back_fresh_on_restore_failure(tmp_path, caplog):
             mk(resume=os.path.join(run_dir, "model_latest")),
             results_dir=str(tmp_path / "results" / "c"),
         )
+
+
+@pytest.mark.slow
+def test_auto_resume_restores_best_bar(tmp_path):
+    """Round-4 review: crash recovery must not let the first post-resume
+    eval overwrite model_best with a worse model. The best-so-far score is
+    persisted in a .state.json sidecar and restored on --resume auto; when
+    the resumed run never beats it, the returned best comes from the PRIOR
+    run's model_best."""
+    import json
+
+    ann, vdir, qdir = make_synthetic_qvh(
+        str(tmp_path), n_queries=8, v_dim=16, t_dim=12, n_clips=8
+    )
+
+    def mk(**kw):
+        base = dict(
+            v_feat_dim=16, t_feat_dim=12, max_v_l=8, max_q_l=6,
+            hidden_dim=16, dim_feedforward=32, t2v_layers=1, enc_layers=1,
+            dummy_layers=1, num_dummies=2, num_mlp_layers=2,
+            num_conv_layers=1, bsz=4, eval_bsz=4, n_epoch=1, eval_epoch=1,
+            nms_thd=-1.0, train_precision="float32",
+            eval_precision="float32", exp_id="bestbar",
+            train_path=ann, eval_path=ann, v_feat_dirs=(vdir,),
+            t_feat_dir=qdir, results_root=str(tmp_path / "results"),
+            use_tensorboard=False,
+        )
+        base.update(kw)
+        return from_preset("qvhighlights_slowclip", **base)
+
+    _, score_a, run_a = train(mk(), results_dir=str(tmp_path / "results" / "a"))
+    assert score_a > 0.0
+    assert os.path.isdir(os.path.join(run_a, "model_best"))
+    state_path = os.path.join(run_a, "model_latest.state.json")
+    assert json.load(open(state_path))["best_score"] == pytest.approx(score_a)
+
+    # force an unbeatable bar, then resume: run B must not save a new
+    # model_best and must return the prior best (score and params source)
+    json.dump({"best_score": 1e9}, open(state_path, "w"))
+    run_b_dir = str(tmp_path / "results" / "b")
+    best_params, score_b, _ = train(
+        mk(resume="auto", n_epoch=2), results_dir=run_b_dir
+    )
+    assert score_b == pytest.approx(1e9)
+    assert not os.path.isdir(os.path.join(run_b_dir, "model_best"))
+    import jax
+
+    for leaf in jax.tree.leaves(best_params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
