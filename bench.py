@@ -38,13 +38,14 @@ BASELINE_QUERIES = 32  # reference bsz=1 CPU loop is slow; subsample and scale
 FALLBACK_CPU_BASELINE_QPS = 5.0  # measured reference CPU rate, used only if
                                  # the reference tree is unavailable
 
-# Last driver-verified on-chip measurement (BENCH_r02.json). Carried in the
-# failure record so a dead-tunnel round still documents the standing claim.
+# Last verified on-chip measurement (round-4 live run of this script on the
+# tunneled v5e chip; driver record: BENCH_r02.json = 10,914.6 q/s). Carried in
+# the failure record so a dead-tunnel round still documents the standing claim.
 LAST_VERIFIED = {
-    "round": 2,
-    "value": 10914.6,
+    "round": 4,
+    "value": 10973.78,
     "unit": "queries/s",
-    "vs_baseline": 502.99,
+    "vs_baseline": 420.57,
 }
 
 

@@ -269,6 +269,7 @@ def main(argv=None):
         # dir BEFORE writing anything, so a failed export leaves no partial
         # artifacts.
         export_dir = os.path.dirname(os.path.abspath(export_path))
+        os.makedirs(export_dir, exist_ok=True)
         opt_sidecar = os.path.join(export_dir, "opt.json")
         existing_opt = None
         if os.path.exists(opt_sidecar):

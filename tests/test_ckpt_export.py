@@ -215,6 +215,43 @@ def test_export_hd_shape_no_pyramid_params():
     assert any(k.startswith("class_head") for k in sd)
 
 
+def test_export_creates_target_dir(tmp_path):
+    """Round-4 verify finding: `cli export --export_path a/b/out.ckpt` into
+    a directory that does not exist yet must create it (the sidecar write
+    used to fail with FileNotFoundError before any artifact landed)."""
+    import jax
+
+    from flashvtg_tpu.cli import main as cli_main, parse_config
+
+    flags = [
+        "qvhighlights_slowclip", "--v_feat_dim", "16", "--t_feat_dim", "12",
+        "--hidden_dim", "16", "--dim_feedforward", "32", "--nheads", "2",
+        "--num_dummies", "2", "--t2v_layers", "1", "--enc_layers", "1",
+        "--dummy_layers", "1", "--num_mlp_layers", "2",
+        "--num_conv_layers", "1", "--max_v_l", "8", "--max_q_l", "6",
+    ]
+    cfg, _ = parse_config(flags)
+    mc = cfg.model_config()
+    model = cfg.build_model()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 6, 12)), jnp.ones((1, 6)),
+        jnp.zeros((1, 8, mc.vid_dim)), jnp.ones((1, 8)),
+        train=False,
+    )["params"]
+    src = str(tmp_path / "src.ckpt")
+    save_torch_checkpoint(src, params, mc, variant="core", epoch=1)
+
+    out = tmp_path / "not" / "yet" / "there" / "out.ckpt"
+    rc = cli_main(
+        ["export", *flags, "--resume", src, "--export_path", str(out)]
+    )
+    assert rc == 0
+    assert out.exists()
+    assert (out.parent / "opt.json").exists()
+    assert (out.parent / "model_cfg.py").exists()
+
+
 def test_export_refuses_mismatched_target_dir(tmp_path):
     """Round-4 review: exporting into a directory whose opt.json records a
     different architecture must refuse BEFORE writing anything (no partial
