@@ -193,10 +193,22 @@ def test_sharded_eval_matches_single_device(tmp_path):
     )
     loss_cfg = cfg.loss_config()
 
+    # The dataset resamples saliency pos/neg labels on EVERY access through
+    # one seeded stream (reference parity, data/dataset.py:6). Two
+    # consecutive evals therefore see different sampled labels and their
+    # margin-pair saliency losses legitimately differ — reset the stream so
+    # both runs draw identically and the comparison isolates sharding.
+    import random as _random
+
+    def _fresh_rng():
+        dataset.rng = _random.Random(dataset.cfg.seed)
+
+    _fresh_rng()
     sub1, _, losses1 = run_mr_inference(
         cfg, model, params, dataset, loss_cfg=loss_cfg, mesh=None
     )
     dataset._device_feed_cache = None  # rebuild the feed under the mesh
+    _fresh_rng()
     mesh = make_mesh(jax.devices(), data=8, model=1)
     sub8, _, losses8 = run_mr_inference(
         cfg, model, replicate_params(mesh, params), dataset,
