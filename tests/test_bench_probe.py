@@ -138,4 +138,8 @@ class TestFailureRecord:
         assert rec["vs_baseline"] is None
         assert "error" in rec
         lv = rec["last_verified"]
-        assert lv["round"] == 2 and lv["value"] == 10914.6
+        # The record must carry the standing verified claim verbatim; the
+        # literal values live in bench.LAST_VERIFIED and move each time a
+        # live run is recorded, so pin structure + sanity, not the number.
+        assert lv == bench.LAST_VERIFIED
+        assert lv["round"] >= 2 and lv["value"] >= 10914.6
