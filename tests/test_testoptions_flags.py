@@ -183,7 +183,13 @@ def test_feature_interactions_smoke(tmp_path, monkeypatch):
         tmp_path, eval_untrained=True, use_wandb=True, n_epoch=2,
         test_path=_tiny_train_cfg(tmp_path).eval_path,
     )
-    assert cfg.device_feed == "auto" and cfg.scan_steps == 16
+    # Pin that the tiny cfg really exercises the production feed+scan path
+    # (scan enabled = >1); the exact chunk size is the swept production
+    # default and moves with ExperimentConfig.scan_steps.
+    from flashvtg_tpu.train.config import ExperimentConfig
+
+    assert cfg.device_feed == "auto"
+    assert cfg.scan_steps == ExperimentConfig.scan_steps and cfg.scan_steps > 1
     run_dir = str(tmp_path / "run")
     best_params, best_score, _ = train(cfg, results_dir=run_dir)
     assert best_score > 0
