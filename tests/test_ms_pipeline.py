@@ -121,6 +121,7 @@ def test_ms_train_step(env):
     assert losses["weighted_loss_overall"] < p0
 
 
+@pytest.mark.slow
 def test_ms_full_train_loop(env, tmp_path):
     """The PRODUCTION train() handles the _ms variant end-to-end on the HD
     task (feed + donated buffered steps + HL eval + checkpoints)."""

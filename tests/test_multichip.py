@@ -126,6 +126,7 @@ def _train_cfg(tmp, ann, vdir, qdir, results_root):
     )
 
 
+@pytest.mark.slow
 def test_production_train_sharded_matches_single_device(tmp_path):
     """Full train() (VERDICT round-1 item 1): the PRODUCTION loop on an
     8-device data mesh must reproduce the 1-device run (same seed, same
@@ -166,6 +167,7 @@ def test_train_auto_mesh_default(tmp_path):
     assert build_mesh_for(1) is None
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_single_device(tmp_path):
     """run_mr_inference over the 8-device data mesh must reproduce the
     single-device submission AND eval losses (data-parallel eval: batches

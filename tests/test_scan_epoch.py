@@ -67,6 +67,7 @@ def synth(tmp_path_factory):
     return tmp, ann, vdir, qdir
 
 
+@pytest.mark.slow
 def test_scan_epoch_matches_per_step(synth):
     """train() with scan_steps=3 (8 steps/epoch -> chunks of 3+3+2, so the
     tail-chunk compile path runs too) reproduces scan_steps=0 up to

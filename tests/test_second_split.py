@@ -8,6 +8,8 @@ trainer's surface, implemented in the shared production loop.
 import json
 import os
 
+import pytest
+
 import numpy as np
 
 from flashvtg_tpu.train.config import from_preset
@@ -15,6 +17,7 @@ from flashvtg_tpu.train.loop import train
 from flashvtg_tpu.utils.synthetic import make_synthetic_qvh
 
 
+@pytest.mark.slow
 def test_test_path_final_evals(tmp_path):
     ann, vdir, qdir = make_synthetic_qvh(
         str(tmp_path), n_queries=16, v_dim=32, t_dim=24, n_clips=16

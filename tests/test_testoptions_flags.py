@@ -75,6 +75,7 @@ def _tiny_train_cfg(tmp_path, **overrides):
     return from_preset("qvhighlights_slowclip", **kw)
 
 
+@pytest.mark.slow
 def test_eval_untrained_runs_eval_before_epoch0(tmp_path):
     from flashvtg_tpu.train.loop import train
 

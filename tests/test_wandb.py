@@ -12,6 +12,8 @@ import os
 import sys
 import types
 
+import pytest
+
 from flashvtg_tpu.utils.observability import ScalarWriter
 
 
@@ -81,6 +83,7 @@ def test_wandb_missing_degrades_to_warning(tmp_path, monkeypatch, caplog):
         assert json.loads(f.readline())["loss"] == 2.0
 
 
+@pytest.mark.slow
 def test_train_wires_use_wandb(tmp_path, monkeypatch):
     """The production train() passes project/run-name/config through to
     wandb.init when --use_wandb is set."""
