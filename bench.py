@@ -38,14 +38,17 @@ BASELINE_QUERIES = 32  # reference bsz=1 CPU loop is slow; subsample and scale
 FALLBACK_CPU_BASELINE_QPS = 5.0  # measured reference CPU rate, used only if
                                  # the reference tree is unavailable
 
-# Last verified on-chip measurement (round-4 live run of this script on the
-# tunneled v5e chip; driver record: BENCH_r02.json = 10,914.6 q/s). Carried in
-# the failure record so a dead-tunnel round still documents the standing claim.
+# Last verified on-chip measurement. Carried in the failure record so a
+# dead-tunnel round still documents the standing claim. Per the round-4
+# review: this pins the DRIVER-captured number (BENCH_r04.json), not a
+# builder self-run, so a future failure record republishes only auditable
+# values.
 LAST_VERIFIED = {
     "round": 4,
-    "value": 10973.78,
+    "value": 10861.1,
     "unit": "queries/s",
-    "vs_baseline": 420.57,
+    "vs_baseline": 333.05,
+    "provenance": "driver-captured BENCH_r04.json (end-of-round live run)",
 }
 
 
@@ -154,6 +157,16 @@ def build_inputs(rng):
     return src_txt, txt_mask, src_vid, vid_mask
 
 
+def _cache_entries() -> int:
+    """Files currently in the persistent compile cache (0 if absent)."""
+    try:
+        return len(os.listdir(
+            os.path.expanduser("~/.cache/flashvtg_tpu_xla")
+        ))
+    except OSError:
+        return 0
+
+
 def bench_tpu():
     import jax
     import jax.numpy as jnp
@@ -161,6 +174,7 @@ def bench_tpu():
     from flashvtg_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+    cache_before = _cache_entries()
 
     from flashvtg_tpu.models.flashvtg import FlashVTGModel
     from flashvtg_tpu.models.points import pyramid_masks_strict
@@ -248,21 +262,124 @@ def bench_tpu():
         f"peak, {util['mfu_effective']:.3f} vs the "
         f"{cfg.eval_precision} pass-adjusted ceiling")
 
-    # side measurements (stderr only): MXU precision headroom for serving
-    # deployments that accept lower-precision matmuls. The headline number
-    # stays float32 — the parity-gated mode.
+    # side measurements: MXU precision headroom for serving deployments
+    # that accept lower-precision matmuls (productized as `cli infer
+    # --serving`, docs/PRECISION.md). The headline number stays float32 —
+    # the parity-gated mode — but the side rates are named JSON fields so
+    # regressions are driver-visible (round-4 review: the bf16 record
+    # moved between rounds with only stderr evidence).
+    side = {}
     for prec in ("tensorfloat32", "bfloat16"):
         try:
-            pqps, _ = timed_qps(
-                make_eval_step(model, cfg.max_num_moment, prec), iters=2
+            pqps, pwarm = timed_qps(
+                make_eval_step(model, cfg.max_num_moment, prec), iters=3
             )
             putil = mfu_of(flops_per_query * pqps, 1.0, prec)
+            side[prec] = round(pqps, 1)
             log(f"tpu ({prec}, serving headroom): {pqps:.1f} q/s | "
+                f"warmup {pwarm:.1f}s | "
                 f"{putil['achieved_tflops']:.1f} TF/s, MFU {putil['mfu']:.3f}"
                 f", effective {putil['mfu_effective']:.3f}")
         except Exception as e:
+            side[prec] = None
             log(f"{prec} side-measurement skipped: {e!r}")
-    return qps, util
+    cache = {
+        "entries_before": cache_before,
+        "new_entries": _cache_entries() - cache_before,
+    }
+    # new_entries == 0 <=> every program this process built was served from
+    # the persistent cache (no fresh remote compiles)
+    log(f"compile cache: {cache}")
+    return qps, util, warm, side, cache
+
+
+def bench_train_scan():
+    """Production scan-epoch training throughput at the flagship shape
+    (B=32, K=scan_steps default): steps/s measured over 2 fused dispatches
+    with HBM-resident features and in-loop label/index-stack uploads —
+    the same accounting as scripts/bench_train.py's scan row (KERNELS.md).
+    Returns (steps_per_sec, bsz, K) or raises."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashvtg_tpu.train.config import from_preset
+    from flashvtg_tpu.train.loop import _key_chain, make_optimizer, make_train_step
+
+    bsz = 32
+    cfg = from_preset("qvhighlights_slowclip", bsz=bsz)
+    k = cfg.scan_steps
+    steps = 2 * k
+    model = cfg.build_model()
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init, static_argnames="train")(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, LQ, T_DIM)), jnp.ones((1, LQ)),
+        jnp.zeros((1, LV, V_DIM + 2)), jnp.ones((1, LV)),
+        train=False,
+    )
+    tx, _ = make_optimizer(cfg, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = make_train_step(model, cfg.loss_config(), tx, cfg.train_precision)
+    keys = step.loss_keys
+
+    host = np.random.default_rng(0)
+    n_rows = 4 * bsz
+    feed = {
+        "src_txt": jax.device_put(
+            host.standard_normal((n_rows, LQ, T_DIM)).astype(np.float32)
+        ),
+        "src_txt_mask": jax.device_put(np.ones((n_rows, LQ), np.float32)),
+        "src_vid": jax.device_put(
+            host.standard_normal((n_rows, LV, V_DIM + 2)).astype(np.float32)
+        ),
+        "src_vid_mask": jax.device_put(np.ones((n_rows, LV), np.float32)),
+    }
+    small = {
+        "saliency_all_labels": host.integers(0, 4, (bsz, LV)).astype(
+            np.float32
+        ),
+        "saliency_pos_labels": host.integers(0, LV, (bsz, 2)),
+        "saliency_neg_labels": host.integers(0, LV, (bsz, 2)),
+        "gt_windows": np.tile(
+            np.asarray([[[2.0, 10.0]]], np.float32), (bsz, 1, 1)
+        ),
+        "real_neg_mask": np.ones((bsz,), np.float32),
+    }
+    host_stack = {k_: np.stack([v] * k) for k_, v in small.items()}
+    idx_stack = (
+        np.arange(k * bsz).reshape(k, bsz) % n_rows
+    ).astype(np.int32)
+
+    r = jax.random.PRNGKey(1)
+    loss_buf = jnp.asarray(np.zeros((steps, len(keys)), np.float32))
+    r, subs = _key_chain(r, k)
+    t0 = time.perf_counter()
+    params, opt_state, loss_buf = step.epoch_scan_feed(
+        params, opt_state, loss_buf, jnp.asarray(0, jnp.int32),
+        {k_: jnp.asarray(v) for k_, v in host_stack.items()},
+        jnp.asarray(idx_stack), feed, subs,
+    )
+    np.asarray(loss_buf[0])  # fence
+    log(f"train scan warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    loss_buf = jnp.asarray(np.zeros((steps, len(keys)), np.float32))
+    t0 = time.perf_counter()
+    done = 0
+    while done + k <= steps:
+        r, subs = _key_chain(r, k)
+        params, opt_state, loss_buf = step.epoch_scan_feed(
+            params, opt_state, loss_buf, jnp.asarray(done, jnp.int32),
+            {k_: jnp.asarray(v) for k_, v in host_stack.items()},
+            jnp.asarray(idx_stack), feed, subs,
+        )
+        done += k
+    host_losses = np.asarray(loss_buf)[:done]
+    dt = time.perf_counter() - t0
+    assert np.isfinite(host_losses).all(), "non-finite train losses"
+    sps = done / dt
+    log(f"train scan epoch (B={bsz}, K={k}): {done} steps in {dt:.3f}s -> "
+        f"{sps:.2f} steps/s ({sps * bsz:.0f} samples/s)")
+    return sps, bsz, k
 
 
 def bench_reference_cpu():
@@ -344,7 +461,21 @@ def main():
             )
         )
         sys.exit(1)
-    tpu_qps, util = bench_tpu()
+    tpu_qps, util, warmup_s, side, cache = bench_tpu()
+    # training throughput in the same driver record (round-4 review item 4):
+    # eval-only records let train-perf regressions go unnoticed for a round
+    train = {}
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
+        try:
+            sps, tbsz, tk = bench_train_scan()
+            train = {
+                "train_steps_per_sec": round(sps, 2),
+                "train_batch": tbsz,
+                "train_scan_k": tk,
+            }
+        except Exception as e:
+            log(f"train-throughput measurement failed: {e!r}")
+            train = {"train_steps_per_sec": None}
     cpu_qps = bench_reference_cpu()
     record = {}
     if "BENCH_QUERIES" in os.environ or "BENCH_BATCH" in os.environ:
@@ -363,11 +494,21 @@ def main():
                 **record,
                 # model-FLOPs utilization (utils/flops.py): achieved TFLOP/s
                 # from the analytic forward FLOP count; `mfu` vs the v5e
-                # bf16 MXU peak (197 TF/s), `mfu_effective` vs the
-                # matmul-pass-adjusted ceiling of the serving precision.
+                # bf16 MXU peak (197 TF/s), `mfu_effective` vs the measured
+                # matmul-skeleton ceiling of the serving precision
+                # (scripts/bench_matmul_ceiling.py, docs/KERNELS.md).
                 "achieved_tflops": round(util["achieved_tflops"], 2),
                 "mfu": round(util["mfu"], 4),
                 "mfu_effective": round(util["mfu_effective"], 4),
+                # self-auditing fields (round-4 review items 1-2): first-call
+                # latency of the f32 step, persistent-cache activity
+                # (new_entries == 0 <=> fully warm), and the serving-
+                # precision side rates as named fields
+                "warmup_s": round(warmup_s, 2),
+                "compile_cache": cache,
+                "tensorfloat32_qps": side.get("tensorfloat32"),
+                "bfloat16_qps": side.get("bfloat16"),
+                **train,
             }
         )
     )

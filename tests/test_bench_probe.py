@@ -142,4 +142,7 @@ class TestFailureRecord:
         # literal values live in bench.LAST_VERIFIED and move each time a
         # live run is recorded, so pin structure + sanity, not the number.
         assert lv == bench.LAST_VERIFIED
-        assert lv["round"] >= 2 and lv["value"] >= 10914.6
+        assert lv["round"] >= 2 and lv["value"] >= 10000
+        # round-4 review item: the standing claim must be an auditable
+        # driver-captured number, and say so
+        assert "driver" in lv["provenance"]
