@@ -146,3 +146,60 @@ class TestFailureRecord:
         # round-4 review item: the standing claim must be an auditable
         # driver-captured number, and say so
         assert "driver" in lv["provenance"]
+
+
+class TestLiveRecordSchema:
+    def test_json_line_carries_self_audit_fields(self, monkeypatch, capsys):
+        """The success record must carry the round-5 self-audit fields:
+        warmup_s, compile-cache activity, per-precision serving rates, and
+        the scan-epoch train throughput — so perf/cache regressions in any
+        of them are driver-visible, not stderr-only."""
+        monkeypatch.setattr(bench, "tpu_reachable", lambda: True)
+        monkeypatch.setattr(
+            bench, "bench_tpu",
+            lambda: (
+                10861.1,
+                {"achieved_tflops": 16.5, "mfu": 0.084,
+                 "mfu_effective": 0.5},
+                123.4,
+                {"tensorfloat32": 14566.5, "bfloat16": 14885.0},
+                {"entries_before": 3000, "new_entries": 0},
+            ),
+        )
+        monkeypatch.setattr(
+            bench, "bench_train_scan", lambda: (81.9, 32, 64)
+        )
+        monkeypatch.setattr(bench, "bench_reference_cpu", lambda: 32.6)
+        bench.main()
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["value"] == 10861.1
+        assert rec["warmup_s"] == 123.4
+        assert rec["compile_cache"] == {
+            "entries_before": 3000, "new_entries": 0,
+        }
+        assert rec["tensorfloat32_qps"] == 14566.5
+        assert rec["bfloat16_qps"] == 14885.0
+        assert rec["train_steps_per_sec"] == 81.9
+        assert rec["train_batch"] == 32 and rec["train_scan_k"] == 64
+
+    def test_train_measurement_failure_keeps_headline(
+        self, monkeypatch, capsys
+    ):
+        """A broken train-throughput probe must null its field, never take
+        down the headline eval record."""
+        monkeypatch.setattr(bench, "tpu_reachable", lambda: True)
+        monkeypatch.setattr(
+            bench, "bench_tpu",
+            lambda: (10861.1, {"achieved_tflops": 16.5, "mfu": 0.084,
+                               "mfu_effective": 0.5}, 99.0, {}, {}),
+        )
+
+        def boom():
+            raise RuntimeError("scan compile failed")
+
+        monkeypatch.setattr(bench, "bench_train_scan", boom)
+        monkeypatch.setattr(bench, "bench_reference_cpu", lambda: 32.6)
+        bench.main()
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["value"] == 10861.1
+        assert rec["train_steps_per_sec"] is None
