@@ -12,11 +12,12 @@ own `compiled.cost_analysis()["flops"]` so drift in either direction fails.
 MFU is reported against the v5e MXU peak. The bf16 systolic-array peak is
 197 TFLOP/s/chip (public v5e spec). f32 inputs execute as multi-pass bf16
 on the MXU (jax `default_matmul_precision`: "float32" = 6 passes,
-"tensorfloat32" = 3, "bfloat16" = 1 — see train/infer.make_eval_step), so
-per-precision *effective* ceilings are peak/passes. Both numbers are
-emitted: `mfu` (vs the hardware bf16 peak — the honest cross-framework
-number) and `mfu_effective` (vs the precision-adjusted ceiling — how close
-the program is to its own mode's speed of light).
+"tensorfloat32" = 3, "bfloat16" = 1 — see train/infer.make_eval_step).
+Two numbers are emitted: `mfu` (vs the hardware bf16 peak — the honest
+cross-framework number) and `mfu_effective` (vs the MEASURED per-mode
+matmul-skeleton ceiling, MEASURED_SKELETON_TFLOPS below — how close the
+program is to its own mode's measured speed of light at the model's
+actual shapes).
 
 Oracle for the architecture being counted: /root/reference/FlashVTG/model.py
 73-304 and transformer.py 179-435 (shapes mirrored by models/flashvtg.py).
@@ -29,6 +30,23 @@ from typing import Dict, Optional
 
 V5E_PEAK_BF16_TFLOPS = 197.0  # per chip, dense MXU peak
 MXU_PASSES = {"bfloat16": 1, "tensorfloat32": 3, "float32": 6}
+
+# MEASURED per-mode ceilings (TF/s) from scripts/bench_matmul_ceiling.py on
+# the tunneled v5e chip (2026-08-20): the flagship model's full matmul/conv
+# chain at its real shapes (B=512, Lv=75, Lq=32, d=256) with nothing but
+# reshape/add glue — the same ops model_flops counts, f32 arrays under
+# jax.default_matmul_precision(mode), exactly the serving modes' convention.
+# A full eval step can never beat its mode's skeleton rate, so
+# `mfu_effective` divides by THIS (round-4 review item 3: the former
+# analytic peak/passes denominator — 32.8 TF/s for f32 — was untested; the
+# measured f32 chain tops out at 23.9 TF/s because the attention einsums
+# run memory-bound at ~1 TF/s at head_dim 32 / Lk<=117, see
+# docs/KERNELS.md roofline).
+MEASURED_SKELETON_TFLOPS = {
+    "float32": 23.94,
+    "tensorfloat32": 37.23,
+    "bfloat16": 89.93,
+}
 
 
 def _dense(b, l, d_in, d_out):
@@ -192,9 +210,14 @@ def mfu(
             f"unknown precision {precision!r}; expected one of "
             f"{sorted(MXU_PASSES)}"
         )
-    passes = MXU_PASSES[precision]
+    # mfu_effective: vs the MEASURED matmul-skeleton ceiling of the mode
+    # (how close the program is to its own measured speed of light);
+    # analytic peak/passes only as fallback for precisions never measured
+    ceiling = MEASURED_SKELETON_TFLOPS.get(
+        precision, peak_tflops / MXU_PASSES[precision]
+    )
     return {
         "achieved_tflops": achieved,
         "mfu": achieved / peak_tflops,
-        "mfu_effective": achieved / (peak_tflops / passes),
+        "mfu_effective": achieved / ceiling,
     }

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from flashvtg_tpu.models.flashvtg import FlashVTGModel, ModelConfig
 from flashvtg_tpu.utils.flops import (
+    MEASURED_SKELETON_TFLOPS,
     MXU_PASSES,
     V5E_PEAK_BF16_TFLOPS,
     mfu,
@@ -114,8 +115,22 @@ def test_mfu_arithmetic():
     out = mfu(flops=197e12, seconds=1.0, precision="float32")
     assert out["achieved_tflops"] == pytest.approx(197.0)
     assert out["mfu"] == pytest.approx(1.0)
-    assert out["mfu_effective"] == pytest.approx(MXU_PASSES["float32"])
+    # mfu_effective divides by the MEASURED matmul-skeleton ceiling of the
+    # mode (scripts/bench_matmul_ceiling.py, docs/KERNELS.md roofline)
+    assert out["mfu_effective"] == pytest.approx(
+        197.0 / MEASURED_SKELETON_TFLOPS["float32"]
+    )
     assert V5E_PEAK_BF16_TFLOPS == 197.0
+    # the measured ceilings must stay physical: above the per-pass floor
+    # the MXU guarantees for big square matmuls would be nonsense to beat,
+    # below the hardware peak; and monotone in precision
+    for prec in MXU_PASSES:
+        assert 0 < MEASURED_SKELETON_TFLOPS[prec] <= V5E_PEAK_BF16_TFLOPS
+    assert (
+        MEASURED_SKELETON_TFLOPS["float32"]
+        < MEASURED_SKELETON_TFLOPS["tensorfloat32"]
+        < MEASURED_SKELETON_TFLOPS["bfloat16"]
+    )
 
 
 def test_bench_shapes_headline_flops():
