@@ -96,14 +96,20 @@ def _dense_w(rng, d_in, d_out):
     )
 
 
-def build_skeleton(cfg):
+def build_skeleton(cfg, weights_as_arg=False):
     """The flagship eval forward reduced to its counted matmuls/convs.
 
     Mirrors utils/flops.model_flops group by group (same op, same shape,
     same count) so `model_flops(...)["fwd"]` is this function's FLOP count
     (sole divergence: the 2·b·lq·d pooling dot, <0.01%, see the trailing
     note). Glue between ops is only reshape / transpose / add — measuring
-    the matmul chain, not the model's softmax/norm/mask overhead."""
+    the matmul chain, not the model's softmax/norm/mask overhead.
+
+    With `weights_as_arg` the returned callable is `skeleton(w, vid, txt)`
+    (weights a pytree argument) so jax.grad can differentiate w.r.t. the
+    weights — the train-ceiling row measures fwd + full backward (input
+    AND weight gradients = 3x fwd matmul FLOPs, utils/flops.model_flops
+    docstring)."""
     d, ff, h = cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads
     nd, dh = cfg.num_dummies, cfg.hidden_dim // cfg.nheads
     rng = np.random.default_rng(0)
@@ -152,7 +158,7 @@ def build_skeleton(cfg):
         b, _, l, _ = x.shape
         return x.transpose(0, 2, 1, 3).reshape(b, l, d)
 
-    def enc_layer(x):  # self-attn encoder layer: 4 proj + 2 einsum + FFN
+    def enc_layer(w, x):  # self-attn encoder layer: 4 proj + 2 einsum + FFN
         q, k, v = x @ w["wq"], x @ w["wk"], x @ w["wv"]
         qh, kh, vh = heads_split(q), heads_split(k), heads_split(v)
         logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
@@ -160,7 +166,7 @@ def build_skeleton(cfg):
         x = x + ctx @ w["out"]
         return x + jax.nn.relu(x @ w["ff1"]) @ w["ff2"]
 
-    def aca_layer(vid, txt):  # projless ACA: logits incl dummies, values not
+    def aca_layer(w, vid, txt):  # projless ACA: logits incl dummies, values not
         qh, kh = heads_split(vid), heads_split(txt)
         logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
         vh = heads_split(txt[:, nd:])
@@ -176,18 +182,18 @@ def build_skeleton(cfg):
             dimension_numbers=("NLC", "LIO", "NLC"),
         )
 
-    def skeleton(src_vid, src_txt):
+    def skeleton_w(w, src_vid, src_txt):
         vid = jax.nn.relu(src_vid @ w["vp0"]) @ w["vp1"]          # input proj
         txt0 = jax.nn.relu(src_txt @ w["tp0"]) @ w["tp1"]
         txt = jnp.concatenate(
             [jnp.tile(txt0[:, :1], (1, nd, 1)), txt0], axis=1
         )  # (B, nd+lq, d) incl. dummy rows
         for _ in range(cfg.dummy_layers):                          # dummy enc
-            txt = enc_layer(txt)
+            txt = enc_layer(w, txt)
         for _ in range(cfg.t2v_layers):                            # ACA stack
-            vid = aca_layer(vid, txt)
+            vid = aca_layer(w, vid, txt)
         for _ in range(cfg.enc_layers):                            # encoder
-            vid = enc_layer(vid)
+            vid = enc_layer(w, vid)
         glob = vid.mean(axis=1, keepdims=True)                     # saliency
         sal = ((vid @ w["sal1"]) * (glob @ w["sal2"])).sum(-1)
         # pyramid: each level re-chains k=2 s=2 VALID convs from full res
@@ -221,6 +227,12 @@ def build_skeleton(cfg):
 
     # *pooling's 2·b·lq·d weighted-sum term (~0.008 GF of ~780 GF) is
     # elementwise, not MXU work — counted by model_flops, omitted here.
+    if weights_as_arg:
+        return skeleton_w, w
+
+    def skeleton(src_vid, src_txt):
+        return skeleton_w(w, src_vid, src_txt)
+
     return skeleton
 
 
@@ -253,6 +265,37 @@ def main():
         host.standard_normal((B, LQ, cfg.t_feat_dim), dtype=np.float32)
     )
     results["skeleton"] = rate_row("skeleton", fwd, skel, src_vid, src_txt)
+
+    # 2b. TRAIN skeleton: fwd + full backward (input AND weight grads =
+    # 3x fwd matmul FLOPs) at the production train batch B=32 — the
+    # measured matmul ceiling for the scan-epoch train step. Single trunk
+    # pass (the with_neg second pass runs the identical chain, so its
+    # per-FLOP rate is the same regime); the loss itself is elementwise.
+    tb = int(os.environ.get("CEIL_TRAIN_B", 32))
+    skel_w, w0 = build_skeleton(cfg, weights_as_arg=True)
+    t_fwd = model_flops(
+        cfg.model_config(), tb, LQ, LV, train=False, with_neg=False
+    )["fwd"]
+    tvid = jnp.asarray(
+        host.standard_normal((tb, LV, cfg.total_v_feat_dim), dtype=np.float32)
+    )
+    ttxt = jnp.asarray(
+        host.standard_normal((tb, LQ, cfg.t_feat_dim), dtype=np.float32)
+    )
+
+    def train_step_skel(v, t):
+        loss, grads = jax.value_and_grad(
+            lambda wt: skel_w(wt, v, t)
+        )(w0)
+        # reduce the grad pytree to a scalar so every weight gradient
+        # stays live in the accumulated output
+        return loss + sum(
+            jnp.mean(g) for g in jax.tree_util.tree_leaves(grads)
+        )
+
+    results["skeleton_train_b32"] = rate_row(
+        f"skeleton fwd+bwd B={tb}", 3.0 * t_fwd, train_step_skel, tvid, ttxt
+    )
 
     # 3. named single-op rows for the KERNELS.md table
     d, ff, h = cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads
