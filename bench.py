@@ -344,7 +344,10 @@ def bench_train_scan():
     )
     tx, _ = make_optimizer(cfg, steps_per_epoch=100)
     opt_state = tx.init(params)
-    step = make_train_step(model, cfg.loss_config(), tx, cfg.train_precision)
+    step = make_train_step(
+        model, cfg.loss_config(), tx, cfg.train_precision,
+        dropout_rng_impl=cfg.dropout_rng_impl,
+    )
     keys = step.loss_keys
 
     host = np.random.default_rng(0)

@@ -180,6 +180,14 @@ class ExperimentConfig:
     # --eval_precision always wins over --serving.
     serving: bool = False
     train_precision: str = "bfloat16"  # MXU passes in the train step
+    # PRNG backend for the per-step dropout masks. jax's default threefry
+    # generator measured HALF the flagship train step on-chip (12.44 ->
+    # 6.24 ms/step with dropout off, docs/KERNELS.md round-5 decomposition);
+    # "rbg" keeps the exact same Bernoulli(rate) mask distribution but
+    # generates the bits via the TPU's native RngBitGenerator (split/fold_in
+    # stay threefry). "threefry" restores jax's default bit-stream (only
+    # needed to reproduce pre-round-5 randomness bit-for-bit).
+    dropout_rng_impl: str = "rbg"  # rbg | threefry
     # dtype for feature tensors on the host->device wire during training;
     # "bfloat16" halves transfer bytes (params/compute stay f32-promoted)
     transfer_dtype: str = "float32"

@@ -63,7 +63,10 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
     return tx, schedule
 
 
-def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
+def make_train_step(
+    model, loss_cfg, tx, precision: str = "bfloat16",
+    dropout_rng_impl: str = "rbg",
+):
     """Build the jitted train step.
 
     Returns a host-facing callable
@@ -92,6 +95,16 @@ def make_train_step(model, loss_cfg, tx, precision: str = "bfloat16"):
     keys = declared_loss_keys(loss_cfg)
 
     def loss_fn(params, batch, rng):
+        if dropout_rng_impl != "threefry":
+            # Re-key the step's threefry sub-key into the fast generator:
+            # the key CHAIN stays the bit-exact threefry split sequence
+            # (_key_chain / scan-vs-per-step equality untouched), only the
+            # mask bits inside the step come from the TPU-native RBG.
+            # Dropout cost measured 50% of the flagship step under
+            # threefry (docs/KERNELS.md round-5 decomposition).
+            rng = jax.random.wrap_key_data(
+                jnp.concatenate([rng, rng]), impl=dropout_rng_impl
+            )
         out = model.apply(
             params,
             batch["src_txt"],
@@ -755,7 +768,10 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
                     prior_best_ckpt = cand
     params = put_replicated(params)
     opt_state = put_replicated(opt_state)
-    step_fn = make_train_step(model, loss_cfg, tx, cfg.train_precision)
+    step_fn = make_train_step(
+        model, loss_cfg, tx, cfg.train_precision,
+        dropout_rng_impl=cfg.dropout_rng_impl,
+    )
     keys = step_fn.loss_keys
 
     from flashvtg_tpu.utils.observability import (
