@@ -202,10 +202,13 @@ class ExperimentConfig:
     # pinned by test_scan_epoch). Amortizes the per-dispatch host<->TPU
     # latency that otherwise dominates short-video train steps. 0/1 = off;
     # auto-disabled under --debug / --debug_nans for step granularity.
-    # Default from the round-4 on-chip sweep at the reference batch (B=32,
-    # flagship shapes, docs/KERNELS.md): 73.9/74.8/77.2/81.9/82.7 steps/s at
-    # K=8/16/32/64/128 — the knee is 64 (K=128 adds <1%).
-    scan_steps: int = 64
+    # Default from the on-chip sweeps at the reference batch (B=32,
+    # flagship shapes, docs/KERNELS.md). Round 4 (threefry dropout,
+    # ~12.4 ms steps): 73.9/74.8/77.2/81.9/82.7 steps/s at K=8/16/32/64/128
+    # — knee 64. Round 5 re-sweep after the rbg dropout change halved the
+    # step (~6.8 ms), doubling the relative dispatch share:
+    # 136.5/147.8/150.2 at K=32/64/128 — the knee moved to 128.
+    scan_steps: int = 128
     # chunked+remat'd encoder self-attention beyond this Lv (0 = never) —
     # the long-video presets (max_v_l=2048) would otherwise materialize
     # (B, H, L, L) attention logits in every encoder layer

@@ -47,6 +47,14 @@ MEASURED_SKELETON_TFLOPS = {
     "tensorfloat32": 37.23,
     "bfloat16": 89.93,
 }
+# Same measurement for the TRAIN regime: fwd + full backward (weight AND
+# input grads) of the same chain at the production train batch B=32 —
+# backward matmuls are thinner, so the ceiling is lower than eval's.
+MEASURED_TRAIN_SKELETON_TFLOPS = {
+    "float32": 19.59,
+    "tensorfloat32": 32.99,
+    "bfloat16": 61.61,
+}
 
 
 def _dense(b, l, d_in, d_out):
@@ -199,9 +207,12 @@ def mfu(
     seconds: float,
     precision: str = "float32",
     peak_tflops: float = V5E_PEAK_BF16_TFLOPS,
+    ceilings: Optional[Dict[str, float]] = None,
 ) -> Dict[str, float]:
     """Achieved TFLOP/s and model-FLOPs utilization for `flops` of model
-    work executed in `seconds` on one chip."""
+    work executed in `seconds` on one chip. `ceilings` selects the
+    measured-ceiling table for mfu_effective: the eval skeleton by
+    default; pass MEASURED_TRAIN_SKELETON_TFLOPS for fwd+bwd programs."""
     achieved = flops / seconds / 1e12
     if precision not in MXU_PASSES:
         # fail loudly: a typo ('tf32') silently mapped to 1 pass would
@@ -213,9 +224,8 @@ def mfu(
     # mfu_effective: vs the MEASURED matmul-skeleton ceiling of the mode
     # (how close the program is to its own measured speed of light);
     # analytic peak/passes only as fallback for precisions never measured
-    ceiling = MEASURED_SKELETON_TFLOPS.get(
-        precision, peak_tflops / MXU_PASSES[precision]
-    )
+    table = MEASURED_SKELETON_TFLOPS if ceilings is None else ceilings
+    ceiling = table.get(precision, peak_tflops / MXU_PASSES[precision])
     return {
         "achieved_tflops": achieved,
         "mfu": achieved / peak_tflops,

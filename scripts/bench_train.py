@@ -207,17 +207,25 @@ def main():
         f"{spss:.2f} steps/s ({spss * BSZ:.0f} samples/s)")
 
     # model-FLOPs utilization of the best path (scan epoch): analytic
-    # fwd+bwd FLOPs per step vs the v5e MXU peak (utils/flops.py)
-    from flashvtg_tpu.utils.flops import mfu as mfu_of, model_flops
+    # fwd+bwd FLOPs per step vs the v5e MXU peak and the MEASURED train
+    # skeleton ceiling (utils/flops.py; scripts/bench_matmul_ceiling.py)
+    from flashvtg_tpu.utils.flops import (
+        MEASURED_TRAIN_SKELETON_TFLOPS,
+        mfu as mfu_of,
+        model_flops,
+    )
 
     step_flops = model_flops(
         cfg.model_config(), BSZ, LQ, LV, train=True
     )["fwd_bwd"]
-    util = mfu_of(step_flops * spss, 1.0, cfg.train_precision)
+    util = mfu_of(
+        step_flops * spss, 1.0, cfg.train_precision,
+        ceilings=MEASURED_TRAIN_SKELETON_TFLOPS,
+    )
     log(f"scan epoch utilization: {step_flops / 1e9:.1f} GF/step -> "
         f"{util['achieved_tflops']:.1f} TF/s, MFU {util['mfu']:.3f} vs bf16 "
         f"peak, {util['mfu_effective']:.3f} vs the {cfg.train_precision} "
-        f"pass-adjusted ceiling")
+        f"measured train-skeleton ceiling")
 
     out = {
         "preset": PRESET,

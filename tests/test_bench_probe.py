@@ -155,19 +155,20 @@ class TestLiveRecordSchema:
         the scan-epoch train throughput — so perf/cache regressions in any
         of them are driver-visible, not stderr-only."""
         monkeypatch.setattr(bench, "tpu_reachable", lambda: True)
+        util = {"achieved_tflops": 16.5, "mfu": 0.084, "mfu_effective": 0.5}
         monkeypatch.setattr(
             bench, "bench_tpu",
             lambda: (
                 10861.1,
-                {"achieved_tflops": 16.5, "mfu": 0.084,
-                 "mfu_effective": 0.5},
+                util,
                 123.4,
                 {"tensorfloat32": 14566.5, "bfloat16": 14885.0},
                 {"entries_before": 3000, "new_entries": 0},
+                lambda q, s: (q, s, util),  # late_window passthrough
             ),
         )
         monkeypatch.setattr(
-            bench, "bench_train_scan", lambda: (81.9, 32, 64)
+            bench, "bench_train_scan", lambda: (147.8, 32, 128)
         )
         monkeypatch.setattr(bench, "bench_reference_cpu", lambda: 32.6)
         bench.main()
@@ -179,8 +180,8 @@ class TestLiveRecordSchema:
         }
         assert rec["tensorfloat32_qps"] == 14566.5
         assert rec["bfloat16_qps"] == 14885.0
-        assert rec["train_steps_per_sec"] == 81.9
-        assert rec["train_batch"] == 32 and rec["train_scan_k"] == 64
+        assert rec["train_steps_per_sec"] == 147.8
+        assert rec["train_batch"] == 32 and rec["train_scan_k"] == 128
 
     def test_train_measurement_failure_keeps_headline(
         self, monkeypatch, capsys
@@ -188,10 +189,11 @@ class TestLiveRecordSchema:
         """A broken train-throughput probe must null its field, never take
         down the headline eval record."""
         monkeypatch.setattr(bench, "tpu_reachable", lambda: True)
+        util = {"achieved_tflops": 16.5, "mfu": 0.084, "mfu_effective": 0.5}
         monkeypatch.setattr(
             bench, "bench_tpu",
-            lambda: (10861.1, {"achieved_tflops": 16.5, "mfu": 0.084,
-                               "mfu_effective": 0.5}, 99.0, {}, {}),
+            lambda: (10861.1, util, 99.0, {}, {},
+                     lambda q, s: (q, s, util)),
         )
 
         def boom():
@@ -203,3 +205,37 @@ class TestLiveRecordSchema:
         rec = json.loads(capsys.readouterr().out.strip())
         assert rec["value"] == 10861.1
         assert rec["train_steps_per_sec"] is None
+
+    def test_late_window_rescues_a_congested_record(
+        self, monkeypatch, capsys
+    ):
+        """If the early interleaved windows all landed in a service-
+        congestion burst, the post-train late window's better readings
+        must replace the headline AND side fields (observed on-chip:
+        whole-run eval depression while train minutes later ran at full
+        speed)."""
+        monkeypatch.setattr(bench, "tpu_reachable", lambda: True)
+        lo = {"achieved_tflops": 15.8, "mfu": 0.080, "mfu_effective": 0.66}
+        hi = {"achieved_tflops": 16.5, "mfu": 0.084, "mfu_effective": 0.69}
+
+        def late(q, s):
+            return 10874.2, {**s, "bfloat16": 15605.3}, hi
+
+        monkeypatch.setattr(
+            bench, "bench_tpu",
+            lambda: (
+                10405.8, lo, 465.6,
+                {"tensorfloat32": 10794.6, "bfloat16": 11879.0},
+                {"entries_before": 4088, "new_entries": 0},
+                late,
+            ),
+        )
+        monkeypatch.setattr(
+            bench, "bench_train_scan", lambda: (150.3, 32, 128)
+        )
+        monkeypatch.setattr(bench, "bench_reference_cpu", lambda: 31.8)
+        bench.main()
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["value"] == 10874.2
+        assert rec["bfloat16_qps"] == 15605.3
+        assert rec["mfu_effective"] == 0.69
