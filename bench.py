@@ -368,7 +368,7 @@ def bench_train_scan():
     opt_state = tx.init(params)
     step = make_train_step(
         model, cfg.loss_config(), tx, cfg.train_precision,
-        dropout_rng_impl=cfg.dropout_rng_impl,
+        dropout_rng_impl=cfg.resolved_dropout_rng_impl(),
     )
     keys = step.loss_keys
 

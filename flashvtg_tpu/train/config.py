@@ -186,8 +186,14 @@ class ExperimentConfig:
     # "rbg" keeps the exact same Bernoulli(rate) mask distribution but
     # generates the bits via the TPU's native RngBitGenerator (split/fold_in
     # stay threefry). "threefry" restores jax's default bit-stream (only
-    # needed to reproduce pre-round-5 randomness bit-for-bit).
-    dropout_rng_impl: str = "rbg"  # rbg | threefry
+    # needed to reproduce pre-round-5 randomness bit-for-bit). "auto"
+    # (default) resolves per config: rbg, EXCEPT when the chunked+remat
+    # long-sequence attention is active — XLA cannot rematerialize
+    # RngBitGenerator output (recomputed bits are not guaranteed stable),
+    # so under remat every mask would be stored for backward: measured
+    # +8.6 GB HBM (compile OOM) at TACoS shapes, where threefry masks
+    # recompute for free. See resolved_dropout_rng_impl().
+    dropout_rng_impl: str = "auto"  # auto | rbg | threefry
     # dtype for feature tensors on the host->device wire during training;
     # "bfloat16" halves transfer bytes (params/compute stay f32-promoted)
     transfer_dtype: str = "float32"
@@ -346,6 +352,20 @@ class ExperimentConfig:
                     "but is inert (dead or broken in the reference too — "
                     "see docs/PARITY.md)", name,
                 )
+
+    def resolved_dropout_rng_impl(self) -> str:
+        """Resolve "auto" for this config: the TPU-native RBG mask
+        generator (1.84x flagship train throughput, docs/KERNELS.md),
+        EXCEPT when the chunked+remat attention path is live — XLA treats
+        RngBitGenerator as non-rematerializable, so under jax.checkpoint
+        every dropout mask would be stored for backward (measured compile
+        OOM, +8.6 GB over the 16 GB HBM, at TACoS Lv=2048), while
+        threefry masks recompute for free inside the remat."""
+        if self.dropout_rng_impl != "auto":
+            return self.dropout_rng_impl
+        if self.attn_chunk and self.max_v_l > self.attn_chunk:
+            return "threefry"
+        return "rbg"
 
     def build_model(self):
         """Model module for the configured variant."""

@@ -91,6 +91,13 @@ def make_train_step(
         weighted_total_ms,
     )
 
+    if dropout_rng_impl == "auto":
+        # "auto" is a CONFIG value; callers resolve it with
+        # ExperimentConfig.resolved_dropout_rng_impl() (it needs the
+        # attn_chunk/max_v_l context this function doesn't have)
+        raise ValueError(
+            "pass cfg.resolved_dropout_rng_impl(), not the literal 'auto'"
+        )
     is_ms = isinstance(loss_cfg, MSLossConfig)
     keys = declared_loss_keys(loss_cfg)
 
@@ -770,7 +777,7 @@ def train(cfg: ExperimentConfig, results_dir: Optional[str] = None, mesh=None):
     opt_state = put_replicated(opt_state)
     step_fn = make_train_step(
         model, loss_cfg, tx, cfg.train_precision,
-        dropout_rng_impl=cfg.dropout_rng_impl,
+        dropout_rng_impl=cfg.resolved_dropout_rng_impl(),
     )
     keys = step_fn.loss_keys
 

@@ -124,13 +124,30 @@ def test_rbg_is_deterministic_per_key(env):
 
 
 def test_config_default_and_plumbing():
-    """The production default is rbg and train() passes the config field
+    """The production default is "auto" -> rbg at short-video shapes,
+    threefry under chunked+remat attention (RngBitGenerator output is not
+    rematerializable, so remat would store every mask: measured +8.6 GB
+    compile OOM at TACoS Lv=2048); train() passes the RESOLVED value
     through (the field must never silently go inert)."""
     import inspect
+
+    import pytest
 
     from flashvtg_tpu.train import loop
 
     cfg = from_preset("qvhighlights_slowclip")
-    assert cfg.dropout_rng_impl == "rbg"
+    assert cfg.dropout_rng_impl == "auto"
+    assert cfg.resolved_dropout_rng_impl() == "rbg"
+    # long-sequence preset: remat path live -> threefry
+    tacos = from_preset("tacos")
+    assert tacos.max_v_l > tacos.attn_chunk > 0
+    assert tacos.resolved_dropout_rng_impl() == "threefry"
+    # explicit override always wins
+    assert from_preset(
+        "tacos", dropout_rng_impl="rbg"
+    ).resolved_dropout_rng_impl() == "rbg"
     src = inspect.getsource(loop.train)
-    assert "dropout_rng_impl=cfg.dropout_rng_impl" in src
+    assert "dropout_rng_impl=cfg.resolved_dropout_rng_impl()" in src
+    # the literal "auto" must never reach the step builder
+    with pytest.raises(ValueError):
+        loop.make_train_step(None, None, None, dropout_rng_impl="auto")
