@@ -158,11 +158,13 @@ def build_inputs(rng):
 
 
 def _cache_entries() -> int:
-    """Files currently in the persistent compile cache (0 if absent)."""
+    """Files currently in the persistent compile cache (0 if absent).
+    Reads the cache dir from runtime (single source of truth) so the
+    self-audit count can never silently watch the wrong directory."""
+    from flashvtg_tpu.utils.runtime import _DEFAULT_CACHE_DIR
+
     try:
-        return len(os.listdir(
-            os.path.expanduser("~/.cache/flashvtg_tpu_xla")
-        ))
+        return len(os.listdir(_DEFAULT_CACHE_DIR))
     except OSError:
         return 0
 
@@ -343,93 +345,21 @@ def bench_tpu():
 def bench_train_scan():
     """Production scan-epoch training throughput at the flagship shape
     (B=32, K=scan_steps default): steps/s measured over 2 fused dispatches
-    with HBM-resident features and in-loop label/index-stack uploads —
-    the same accounting as scripts/bench_train.py's scan row (KERNELS.md).
-    Returns (steps_per_sec, bsz, K) or raises."""
-    import jax
-    import jax.numpy as jnp
-
+    with HBM-resident features and in-loop label/index-stack uploads.
+    The accounting lives in utils/scanbench.ScanHarness — the SAME harness
+    scripts/bench_train.py's scan row and K-sweep use (round-5 review: two
+    hand-kept copies would de-synchronize the driver record from the
+    documented sweep methodology). Returns (steps_per_sec, bsz, K)."""
     from flashvtg_tpu.train.config import from_preset
-    from flashvtg_tpu.train.loop import _key_chain, make_optimizer, make_train_step
+    from flashvtg_tpu.utils.scanbench import ScanHarness
 
-    bsz = 32
-    cfg = from_preset("qvhighlights_slowclip", bsz=bsz)
+    cfg = from_preset("qvhighlights_slowclip", bsz=32)
     k = cfg.scan_steps
-    steps = 2 * k
-    model = cfg.build_model()
-    rng = jax.random.PRNGKey(0)
-    params = jax.jit(model.init, static_argnames="train")(
-        {"params": rng, "dropout": rng},
-        jnp.zeros((1, LQ, T_DIM)), jnp.ones((1, LQ)),
-        jnp.zeros((1, LV, V_DIM + 2)), jnp.ones((1, LV)),
-        train=False,
+    harness = ScanHarness(
+        cfg, LV, LQ, T_DIM, log=lambda m: log(f"train {m}")
     )
-    tx, _ = make_optimizer(cfg, steps_per_epoch=100)
-    opt_state = tx.init(params)
-    step = make_train_step(
-        model, cfg.loss_config(), tx, cfg.train_precision,
-        dropout_rng_impl=cfg.resolved_dropout_rng_impl(),
-    )
-    keys = step.loss_keys
-
-    host = np.random.default_rng(0)
-    n_rows = 4 * bsz
-    feed = {
-        "src_txt": jax.device_put(
-            host.standard_normal((n_rows, LQ, T_DIM)).astype(np.float32)
-        ),
-        "src_txt_mask": jax.device_put(np.ones((n_rows, LQ), np.float32)),
-        "src_vid": jax.device_put(
-            host.standard_normal((n_rows, LV, V_DIM + 2)).astype(np.float32)
-        ),
-        "src_vid_mask": jax.device_put(np.ones((n_rows, LV), np.float32)),
-    }
-    small = {
-        "saliency_all_labels": host.integers(0, 4, (bsz, LV)).astype(
-            np.float32
-        ),
-        "saliency_pos_labels": host.integers(0, LV, (bsz, 2)),
-        "saliency_neg_labels": host.integers(0, LV, (bsz, 2)),
-        "gt_windows": np.tile(
-            np.asarray([[[2.0, 10.0]]], np.float32), (bsz, 1, 1)
-        ),
-        "real_neg_mask": np.ones((bsz,), np.float32),
-    }
-    host_stack = {k_: np.stack([v] * k) for k_, v in small.items()}
-    idx_stack = (
-        np.arange(k * bsz).reshape(k, bsz) % n_rows
-    ).astype(np.int32)
-
-    r = jax.random.PRNGKey(1)
-    loss_buf = jnp.asarray(np.zeros((steps, len(keys)), np.float32))
-    r, subs = _key_chain(r, k)
-    t0 = time.perf_counter()
-    params, opt_state, loss_buf = step.epoch_scan_feed(
-        params, opt_state, loss_buf, jnp.asarray(0, jnp.int32),
-        {k_: jnp.asarray(v) for k_, v in host_stack.items()},
-        jnp.asarray(idx_stack), feed, subs,
-    )
-    np.asarray(loss_buf[0])  # fence
-    log(f"train scan warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
-
-    loss_buf = jnp.asarray(np.zeros((steps, len(keys)), np.float32))
-    t0 = time.perf_counter()
-    done = 0
-    while done + k <= steps:
-        r, subs = _key_chain(r, k)
-        params, opt_state, loss_buf = step.epoch_scan_feed(
-            params, opt_state, loss_buf, jnp.asarray(done, jnp.int32),
-            {k_: jnp.asarray(v) for k_, v in host_stack.items()},
-            jnp.asarray(idx_stack), feed, subs,
-        )
-        done += k
-    host_losses = np.asarray(loss_buf)[:done]
-    dt = time.perf_counter() - t0
-    assert np.isfinite(host_losses).all(), "non-finite train losses"
-    sps = done / dt
-    log(f"train scan epoch (B={bsz}, K={k}): {done} steps in {dt:.3f}s -> "
-        f"{sps:.2f} steps/s ({sps * bsz:.0f} samples/s)")
-    return sps, bsz, k
+    sps, _ = harness.time_scan(k, steps=2 * k)
+    return sps, cfg.bsz, k
 
 
 def bench_reference_cpu():
@@ -533,6 +463,14 @@ def main():
             tpu_qps, side, util = late_window(tpu_qps, side)
         except Exception as e:
             log(f"late eval window skipped: {e!r}")
+    # Refresh the cache audit AFTER the train bench + late window: the
+    # train-scan program compiles inside bench_train_scan() (its cache key
+    # moves whenever scan_steps / the dropout PRNG change), and a count
+    # snapshotted at the end of bench_tpu() would report "fully warm"
+    # while a fresh multi-minute train compile happened (round-5 review).
+    if "entries_before" in cache:
+        cache["new_entries"] = _cache_entries() - cache["entries_before"]
+        log(f"compile cache (final, incl. train program): {cache}")
     cpu_qps = bench_reference_cpu()
     record = {}
     if "BENCH_QUERIES" in os.environ or "BENCH_BATCH" in os.environ:

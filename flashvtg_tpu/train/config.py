@@ -361,6 +361,12 @@ class ExperimentConfig:
         every dropout mask would be stored for backward (measured compile
         OOM, +8.6 GB over the 16 GB HBM, at TACoS Lv=2048), while
         threefry masks recompute for free inside the remat."""
+        if self.dropout_rng_impl not in ("auto", "rbg", "threefry"):
+            # fail at config time, not deep inside a traced train step
+            raise ValueError(
+                f"unknown dropout_rng_impl {self.dropout_rng_impl!r}; "
+                "expected auto | rbg | threefry"
+            )
         if self.dropout_rng_impl != "auto":
             return self.dropout_rng_impl
         if self.attn_chunk and self.max_v_l > self.attn_chunk:

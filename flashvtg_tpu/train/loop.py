@@ -65,7 +65,7 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
 
 def make_train_step(
     model, loss_cfg, tx, precision: str = "bfloat16",
-    dropout_rng_impl: str = "rbg",
+    dropout_rng_impl: str = "threefry",
 ):
     """Build the jitted train step.
 
@@ -91,12 +91,23 @@ def make_train_step(
         weighted_total_ms,
     )
 
+    # The FUNCTION default is threefry — safe at every shape (rbg masks
+    # cannot be rematerialized: compile OOM under chunked+remat attention,
+    # docs/KERNELS.md). The fast rbg path is opt-in via
+    # cfg.resolved_dropout_rng_impl(), which production callers (train(),
+    # bench.py, scripts/bench_train.py) pass explicitly; "auto" is a
+    # CONFIG value that must be resolved there (it needs the
+    # attn_chunk/max_v_l context this function doesn't have). Fail loudly
+    # on anything else: a typo ('rgb') would otherwise surface as a
+    # generic jax error at trace time, after dataset/feed setup.
     if dropout_rng_impl == "auto":
-        # "auto" is a CONFIG value; callers resolve it with
-        # ExperimentConfig.resolved_dropout_rng_impl() (it needs the
-        # attn_chunk/max_v_l context this function doesn't have)
         raise ValueError(
             "pass cfg.resolved_dropout_rng_impl(), not the literal 'auto'"
+        )
+    if dropout_rng_impl not in ("rbg", "threefry"):
+        raise ValueError(
+            f"unknown dropout_rng_impl {dropout_rng_impl!r}; expected "
+            "'rbg' or 'threefry' (or 'auto' at the config level)"
         )
     is_ms = isinstance(loss_cfg, MSLossConfig)
     keys = declared_loss_keys(loss_cfg)

@@ -51,39 +51,25 @@ def log(*a):
 
 def main():
     from flashvtg_tpu.train.config import from_preset
-    from flashvtg_tpu.train.loop import make_optimizer, make_train_step
+    from flashvtg_tpu.utils.scanbench import ScanHarness
 
-    cfg = from_preset(PRESET)
-    model = cfg.build_model()
-    rng = jax.random.PRNGKey(0)
-    params = jax.jit(model.init, static_argnames="train")(
-        {"params": rng, "dropout": rng},
-        jnp.zeros((1, LQ, T_DIM)), jnp.ones((1, LQ)),
-        jnp.zeros((1, LV, V_DIM + 2)), jnp.ones((1, LV)),
-        train=False,
-    )
-    tx, _ = make_optimizer(cfg, steps_per_epoch=100)
-    opt_state = tx.init(params)
-    step = make_train_step(
-        model, cfg.loss_config(), tx, cfg.train_precision,
-        dropout_rng_impl=cfg.resolved_dropout_rng_impl(),
-    )
-    keys = step.loss_keys
+    cfg = from_preset(PRESET, bsz=BSZ)
+    # the fixture + scan accounting are shared with bench.py's driver
+    # record (utils/scanbench.py) so the sweep methodology and the record
+    # can never de-synchronize
+    harness = ScanHarness(cfg, LV, LQ, T_DIM, n_label_batches=4, log=log)
+    step, keys = harness.step, harness.keys
+    params, opt_state = harness.params, harness.opt_state
 
     host = np.random.default_rng(0)
     batches = []
-    for _ in range(4):  # rotate a few host batches like a real epoch
+    for j in range(4):  # rotate a few host batches like a real epoch
         batches.append({
             "src_txt": host.standard_normal((BSZ, LQ, T_DIM)).astype(np.float32),
             "src_txt_mask": np.ones((BSZ, LQ), np.float32),
             "src_vid": host.standard_normal((BSZ, LV, V_DIM + 2)).astype(np.float32),
             "src_vid_mask": np.ones((BSZ, LV), np.float32),
-            "saliency_all_labels": host.integers(0, 4, (BSZ, LV)).astype(np.float32),
-            "saliency_pos_labels": host.integers(0, LV, (BSZ, 2)),
-            "saliency_neg_labels": host.integers(0, LV, (BSZ, 2)),
-            "gt_windows": np.tile(np.asarray([[[2.0, 10.0]]], np.float32),
-                                  (BSZ, 1, 1)),
-            "real_neg_mask": np.ones((BSZ,), np.float32),
+            **harness.label_batches[j],
         })
 
     log(f"devices: {jax.devices()}")
@@ -117,18 +103,9 @@ def main():
         log(f"streamed: {STEPS} steps in {dt:.3f}s -> {sps:.2f} steps/s "
             f"({sps * BSZ:.0f} samples/s)")
 
-    # --- HBM-resident feed: features live on device, host ships labels ---
-    n_rows = 4 * BSZ
-    feed = {
-        "src_txt": jax.device_put(
-            host.standard_normal((n_rows, LQ, T_DIM)).astype(np.float32)
-        ),
-        "src_txt_mask": jax.device_put(np.ones((n_rows, LQ), np.float32)),
-        "src_vid": jax.device_put(
-            host.standard_normal((n_rows, LV, V_DIM + 2)).astype(np.float32)
-        ),
-        "src_vid_mask": jax.device_put(np.ones((n_rows, LV), np.float32)),
-    }
+    # --- HBM-resident feed: features live on device, host ships labels
+    # (the resident store is the harness's, shared with the scan row) ---
+    n_rows, feed = harness.n_rows, harness.feed
     small_keys = ("saliency_all_labels", "saliency_pos_labels",
                   "saliency_neg_labels", "gt_windows", "real_neg_mask")
     loss_buf = jnp.asarray(np.zeros((STEPS, len(keys)), np.float32))
@@ -164,47 +141,12 @@ def main():
 
     # --- scan epoch (production default, train/loop.py epoch_scan_feed):
     # K steps fused into ONE dispatch, amortizing the per-step dispatch +
-    # transfer latency of the host<->TPU link ---
-    from flashvtg_tpu.train.loop import _key_chain
-
+    # transfer latency of the host<->TPU link. Measurement = the shared
+    # utils/scanbench harness (identical accounting to bench.py's driver
+    # record) ---
     K = max(2, min(SCAN_K or cfg.scan_steps, STEPS))
-    loss_buf = jnp.asarray(np.zeros((STEPS, len(keys)), np.float32))
-    # host-side stacks: uploaded INSIDE the timed loop, like the production
-    # put_chunk — the per-chunk label+index H2D transfer is part of the cost
-    host_small_stack = {
-        k: np.stack([batches[j % len(batches)][k] for j in range(K)])
-        for k in small_keys
-    }
-    host_idx_stack = (
-        np.arange(K * BSZ).reshape(K, BSZ) % n_rows
-    ).astype(np.int32)
-    r, subs = _key_chain(r, K)
-    t0 = time.perf_counter()
-    params, opt_state, loss_buf = step.epoch_scan_feed(
-        params, opt_state, loss_buf, jnp.asarray(0, jnp.int32),
-        {k: jnp.asarray(v) for k, v in host_small_stack.items()},
-        jnp.asarray(host_idx_stack), feed, subs,
-    )
-    np.asarray(loss_buf[0])
-    log(f"scan warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
-
-    loss_buf = jnp.asarray(np.zeros((STEPS, len(keys)), np.float32))
-    t0 = time.perf_counter()
-    done = 0
-    while done + K <= STEPS:
-        r, subs = _key_chain(r, K)
-        params, opt_state, loss_buf = step.epoch_scan_feed(
-            params, opt_state, loss_buf, jnp.asarray(done, jnp.int32),
-            {k: jnp.asarray(v) for k, v in host_small_stack.items()},
-            jnp.asarray(host_idx_stack), feed, subs,
-        )
-        done += K
-    host_losses = np.asarray(loss_buf)[:done]
-    dts = time.perf_counter() - t0
-    assert np.isfinite(host_losses).all()
-    spss = done / dts
-    log(f"scan epoch (K={K}): {done} steps in {dts:.3f}s -> "
-        f"{spss:.2f} steps/s ({spss * BSZ:.0f} samples/s)")
+    harness.params, harness.opt_state = params, opt_state
+    spss, _ = harness.time_scan(K, STEPS)
 
     # model-FLOPs utilization of the best path (scan epoch): analytic
     # fwd+bwd FLOPs per step vs the v5e MXU peak and the MEASURED train

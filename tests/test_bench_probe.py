@@ -156,6 +156,9 @@ class TestLiveRecordSchema:
         of them are driver-visible, not stderr-only."""
         monkeypatch.setattr(bench, "tpu_reachable", lambda: True)
         util = {"achieved_tflops": 16.5, "mfu": 0.084, "mfu_effective": 0.5}
+        # the record's new_entries is refreshed in main() AFTER the train
+        # bench (its program compiles there too); mock the final count
+        monkeypatch.setattr(bench, "_cache_entries", lambda: 3000)
         monkeypatch.setattr(
             bench, "bench_tpu",
             lambda: (
@@ -182,6 +185,33 @@ class TestLiveRecordSchema:
         assert rec["bfloat16_qps"] == 14885.0
         assert rec["train_steps_per_sec"] == 147.8
         assert rec["train_batch"] == 32 and rec["train_scan_k"] == 128
+
+    def test_cache_audit_covers_the_train_compile(self, monkeypatch, capsys):
+        """new_entries must be recomputed in main() AFTER bench_train_scan:
+        the train program's cache key moves with scan_steps / the dropout
+        PRNG, and a count snapshotted at the end of bench_tpu() would print
+        'fully warm' while a fresh train compile happened."""
+        monkeypatch.setattr(bench, "tpu_reachable", lambda: True)
+        util = {"achieved_tflops": 16.5, "mfu": 0.084, "mfu_effective": 0.5}
+        monkeypatch.setattr(
+            bench, "bench_tpu",
+            lambda: (
+                10861.1, util, 123.4, {},
+                {"entries_before": 3000, "new_entries": 0},  # pre-train view
+                lambda q, s: (q, s, util),
+            ),
+        )
+        # the train bench wrote 2 fresh entries; main() reads the final count
+        monkeypatch.setattr(bench, "_cache_entries", lambda: 3002)
+        monkeypatch.setattr(
+            bench, "bench_train_scan", lambda: (150.8, 32, 128)
+        )
+        monkeypatch.setattr(bench, "bench_reference_cpu", lambda: 33.9)
+        bench.main()
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["compile_cache"] == {
+            "entries_before": 3000, "new_entries": 2,
+        }
 
     def test_train_measurement_failure_keeps_headline(
         self, monkeypatch, capsys

@@ -151,3 +151,15 @@ def test_config_default_and_plumbing():
     # the literal "auto" must never reach the step builder
     with pytest.raises(ValueError):
         loop.make_train_step(None, None, None, dropout_rng_impl="auto")
+    # typos fail loudly at both levels, not as a jax error at trace time
+    with pytest.raises(ValueError, match="rgb"):
+        loop.make_train_step(None, None, None, dropout_rng_impl="rgb")
+    with pytest.raises(ValueError, match="rgb"):
+        from_preset(
+            "qvhighlights_slowclip", dropout_rng_impl="rgb"
+        ).resolved_dropout_rng_impl()
+    # the FUNCTION default is the universally-safe generator; rbg is
+    # opt-in through the resolved config (review: an unaware caller at
+    # long-video shapes must not silently compile the OOM program)
+    sig = inspect.signature(loop.make_train_step)
+    assert sig.parameters["dropout_rng_impl"].default == "threefry"
