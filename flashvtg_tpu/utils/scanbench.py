@@ -75,24 +75,9 @@ class ScanHarness:
         host = np.random.default_rng(seed)
         bsz = self.bsz
         self.n_rows = n_feed_batches * bsz
-        self.feed = {
-            "src_txt": jax.device_put(
-                host.standard_normal((self.n_rows, lq, t_dim)).astype(
-                    np.float32
-                )
-            ),
-            "src_txt_mask": jax.device_put(
-                np.ones((self.n_rows, lq), np.float32)
-            ),
-            "src_vid": jax.device_put(
-                host.standard_normal((self.n_rows, lv, v_total)).astype(
-                    np.float32
-                )
-            ),
-            "src_vid_mask": jax.device_put(
-                np.ones((self.n_rows, lv), np.float32)
-            ),
-        }
+        self._t_dim, self._v_total = t_dim, v_total
+        self._feed_rng = np.random.default_rng(seed)
+        self._feed = None  # lazy: see the `feed` property
         self.label_batches: List[Dict[str, np.ndarray]] = [
             {
                 "saliency_all_labels": host.integers(0, 4, (bsz, lv)).astype(
@@ -107,6 +92,35 @@ class ScanHarness:
             }
             for _ in range(n_label_batches)
         ]
+
+    @property
+    def feed(self) -> Dict[str, object]:
+        """HBM-resident synthetic feature feed (n_rows rows), allocated on
+        FIRST ACCESS rather than at construction: callers that run other
+        measurements before the feed path (scripts/bench_train.py's
+        streamed section) must not carry ~0.9 GB of extra HBM residency
+        through them on memory-tight presets (TACoS, round-5 review)."""
+        if self._feed is None:
+            import jax
+
+            host, lv, lq = self._feed_rng, self.lv, self.lq
+            self._feed = {
+                "src_txt": jax.device_put(
+                    host.standard_normal((self.n_rows, lq, self._t_dim))
+                    .astype(np.float32)
+                ),
+                "src_txt_mask": jax.device_put(
+                    np.ones((self.n_rows, lq), np.float32)
+                ),
+                "src_vid": jax.device_put(
+                    host.standard_normal((self.n_rows, lv, self._v_total))
+                    .astype(np.float32)
+                ),
+                "src_vid_mask": jax.device_put(
+                    np.ones((self.n_rows, lv), np.float32)
+                ),
+            }
+        return self._feed
 
     def stacks(self, k: int):
         """Host-side label/index stacks for one K-step dispatch (the

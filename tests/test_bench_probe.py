@@ -245,6 +245,7 @@ class TestLiveRecordSchema:
         whole-run eval depression while train minutes later ran at full
         speed)."""
         monkeypatch.setattr(bench, "tpu_reachable", lambda: True)
+        monkeypatch.setattr(bench, "_cache_entries", lambda: 4088)
         lo = {"achieved_tflops": 15.8, "mfu": 0.080, "mfu_effective": 0.66}
         hi = {"achieved_tflops": 16.5, "mfu": 0.084, "mfu_effective": 0.69}
 

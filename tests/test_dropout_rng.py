@@ -2,9 +2,12 @@
 
 jax's default threefry mask generation measured HALF the flagship train
 step on-chip (docs/KERNELS.md round-5 decomposition: 12.44 -> 6.24
-ms/step with dropout off), so `make_train_step` re-keys the per-step
-dropout stream into the TPU-native RngBitGenerator by default
-(`dropout_rng_impl="rbg"`, train/config.py). These tests pin the wiring:
+ms/step with dropout off). The CONFIG default `dropout_rng_impl="auto"`
+resolves to the TPU-native RngBitGenerator for short-video presets and
+to threefry under chunked+remat attention (rbg masks are not
+rematerializable — compile OOM); `make_train_step`'s own default is the
+universally-safe threefry, with rbg passed explicitly by production
+callers via cfg.resolved_dropout_rng_impl(). These tests pin the wiring:
 rbg really changes the mask bits, touches NOTHING but dropout, and stays
 deterministic per key. The scan-vs-per-step and 8-device-DP equalities
 of the default path are already pinned by test_scan_epoch /
